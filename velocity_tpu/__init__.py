@@ -1,0 +1,24 @@
+"""velocity_tpu — a TPU-native structure-from-motion vehicle speed estimation framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of ultralytics/velocity
+(monocular vehicle speed estimation via license-plate-anchored SfM):
+
+- ``geometry``: rotations, pinhole projection, spherical/NED coordinates, plate geometry
+- ``camera``:   intrinsics database, annotation loading, EXIF/GPS ingest
+- ``ingest``:   host-side video/stills decode feeding device pipelines
+- ``ops``:      batched image ops (pyramids, Lucas-Kanade tracking, Harris corners,
+                RANSAC, warps) as XLA/Pallas kernels
+- ``solvers``:  Levenberg-Marquardt pose solvers, multi-view triangulation,
+                bundle adjustment (dense and Schur-complement block-sparse)
+- ``parallel``: device-mesh sharding of bundle adjustment and frame windows
+- ``pipeline``: the end-to-end speed estimation driver
+- ``viz``:      results visualization
+
+Design stance (TPU-first): static shapes with validity masks, functional state
+threaded through ``lax.scan``/``lax.while_loop``, analytic Jacobians via ``jacfwd``,
+collectives via ``shard_map``/``psum`` over ``jax.sharding.Mesh``.
+"""
+
+__version__ = "0.1.0"
+
+from velocity_tpu import geometry  # noqa: F401
