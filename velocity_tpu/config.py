@@ -1,0 +1,99 @@
+"""Typed configuration for the whole pipeline.
+
+The reference hardcodes every constant (driver toggles are code edits, KLT
+params are dicts in code, LM constants inline — see SURVEY.md §5 "Config").
+Here they are first-class dataclasses with the reference values as defaults,
+wired to the CLI in ``velocity_tpu.cli``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class LKConfig:
+    """One Lucas-Kanade pass configuration.
+
+    Defaults mirror the reference's ``lk_coarse``/``lk_fine`` dicts
+    (/root/reference/utils/KLT.py:106-107).
+    """
+
+    window: int = 15  # odd window side
+    max_level: int = 4  # pyramid levels above full-res
+    max_iters: int = 10
+    eps: float = 0.1  # termination: |delta| < eps (pixels at that level)
+    min_eig_threshold: float = 1e-4  # OpenCV minEigThreshold semantics
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    """Three-stage KLT tracker configuration (reference KLTmain, KLT.py:99-134)."""
+
+    coarse_scale: float = 0.25  # stage-1 image downscale
+    lk_coarse: LKConfig = field(default_factory=lambda: LKConfig(15, 4, 10, 0.1))
+    lk_fine: LKConfig = field(default_factory=lambda: LKConfig(51, 0, 30, 0.001))
+    fb_threshold_coarse: float = 1.0  # stage-2 forward-backward gate (px)
+    fb_threshold_fine: float = 0.3  # stage-3 forward-backward gate (px)
+    min_affine_inliers: int = 10  # below this, fall back to feature matching
+    ransac_trials: int = 256
+    ransac_threshold: float = 3.0  # px, cv2.estimateAffine2D default
+    max_features: int = 1024  # static feature capacity (incl. 4 plate corners)
+    harris_block: int = 5
+    harris_quality: float = 0.01
+    harris_k: float = 0.04
+    subpix_window: int = 5  # cornerSubPix half-window
+    subpix_iters: int = 100
+    subpix_eps: float = 0.001
+    roi_border: tuple[int, int] = (700, 500)  # Harris ROI around plate
+    regional_border: int = 50  # KLT regional bbox border
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """LM/GN solver constants (reference NLS.py:102-183, MSV.py:8-49)."""
+
+    max_iters_pose: int = 30
+    max_iters_msv: int = 1000
+    damping: float = 1.0  # Marquardt damping (identity scale)
+    tol: float = 1e-8  # rms(delta) convergence
+    ramp_rate: float = 0.2  # step scale = min(((i+1)*ramp_rate)^2, 1)
+    dtype: str = "float64"  # solver island dtype ("float32" on TPU-only paths)
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    """Bundle adjustment configuration (reference NLS.py:186-328 + Schur rebuild)."""
+
+    max_iters: int = 10
+    damping: float = 1.0
+    tol: float = 1e-7
+    step_scale: float = 0.9
+    schur: bool = True  # use block-sparse Schur complement reduction
+    cg_tol: float = 1e-10
+    cg_max_iters: int = 100
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout for the sharded paths."""
+
+    points_axis: int = 0  # devices along the track/point-block axis (0 = all)
+    windows_axis: int = 1  # devices along the frame-window axis
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end speed-estimation run configuration (reference vidExample.py)."""
+
+    platform: str = "iPhone 6s"
+    plate_country: str = "Chile"
+    n_frames: int = 20
+    read_speed: int = 1  # read every Nth frame
+    start_frame: int | None = None  # None -> from annotation
+    native_scale: float = 0.5  # 4K annotation -> 2K video (vidExample.py:35-39)
+    msv_frame: int = 5  # frame index for MSV scale transfer
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
