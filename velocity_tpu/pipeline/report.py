@@ -1,0 +1,29 @@
+"""The 9-column per-frame report table — the reference's de-facto output contract
+(vidExample.py:51-74,165,177-178)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+HEADER_NAMES = (
+    "image", "procTime", "pointTracks", "metric", "dt", "time", "dx", "distance", "speed",
+)
+HEADER_UNITS = ("#", "(s)", "#", "(pixels)", "(s)", "(s)", "(m)", "(m)", "(km/h)")
+_ROW_FMT = "{:13g}{:13.3f}{:13g}{:13.3f}{:13.3f}{:13.3f}{:13.2f}{:13.2f}{:13.1f}"
+
+
+def header() -> str:
+    return ("\n" + "%13s" * 9) * 2 % (HEADER_NAMES + HEADER_UNITS)
+
+
+def row(values) -> str:
+    return _ROW_FMT.format(*[float(v) for v in values])
+
+
+def summary(S: np.ndarray) -> str:
+    speeds = S[1:, 8]
+    res = S[1:, 3]
+    return (
+        f"\nSpeed = {speeds.mean():.2f} +/- {speeds.std():.2f} km/h"
+        f"\nRes = {res.mean():.3f} pixels"
+    )

@@ -1,0 +1,287 @@
+"""The end-to-end speed estimation driver.
+
+Replicates the reference pipeline (vidExample.py:13-181) with device compute:
+host decodes frames (prefetch thread); tracking, pose solves and triangulation
+run as jitted static-shape stages; per-frame stats mirror the reference's
+9-column table.
+
+Frame protocol (reference parity):
+  frame 0: plate-ROI Harris init (+subpix), 6-DoF plate solve, plane
+           backprojection of all features, R := I           (vidExample.py:105-131)
+  frame i: 3-stage KLT -> mask composition -> 3-param translation solve on the
+           plate-proximal subset -> speed integration        (vidExample.py:132-146)
+  frame msv_frame: MSV triangulation re-anchors p3 and widens the solve to all
+           features                                          (vidExample.py:155-160)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from velocity_tpu.config import PipelineConfig
+from velocity_tpu.camera.annotations import Annotation, load_annotation, find_annotation
+from velocity_tpu.camera.database import CameraInfo
+from velocity_tpu.geometry.plate import license_plate_points
+from velocity_tpu.geometry.projection import Intrinsics, image_to_world_plane
+from velocity_tpu.ingest.video import VideoReader
+from velocity_tpu.ops.harris import good_features, corner_subpix
+from velocity_tpu.pipeline import report
+from velocity_tpu.pipeline.roi import bounding_rect, inside_bbox
+from velocity_tpu.pipeline.tracker import ThreeStageTracker
+from velocity_tpu.solvers.pose import estimate_world_camera_pose
+from velocity_tpu.solvers.triangulate import msv_refine_translation
+
+
+@dataclass
+class RunResult:
+    """Everything the reference run produces, in analysis-friendly layout."""
+
+    S: np.ndarray  # (n, 9) stats table (reference columns)
+    B: np.ndarray  # (n, 14) car info [xyz, t_xyz(3:6), ecef(6:9), lla(9:12), t, frame#]
+    track_px: np.ndarray  # (n, N, 2) tracked pixels (NaN where invalid)
+    proj_px: np.ndarray  # (n, N, 2) reprojections (NaN where not in solve)
+    valid: np.ndarray  # (n, N) track validity per frame
+    plate_box: tuple
+    roi_box: tuple
+    camera: CameraInfo = None
+    config: PipelineConfig = None
+    first_gray: np.ndarray | None = None
+    last_gray: np.ndarray | None = None
+    timings: dict = field(default_factory=dict)
+
+    @property
+    def speed_kmh(self) -> float:
+        return float(self.S[1:, 8].mean())
+
+    @property
+    def speed_std(self) -> float:
+        return float(self.S[1:, 8].std())
+
+    @property
+    def residual_px(self) -> float:
+        return float(self.S[1:, 3].mean())
+
+
+class SpeedEstimator:
+    def __init__(self, config: PipelineConfig = PipelineConfig()):
+        self.config = config
+        self.tracker = ThreeStageTracker(config.tracker)
+
+    # ------------------------------------------------------------------ init
+    def _init_features(self, gray: np.ndarray, q: np.ndarray):
+        """Frame-0 feature detection: Harris in the plate ROI + subpixel refine."""
+        cfg = self.config.tracker
+        boxa = bounding_rect(q, gray.shape, border=(0, 0))
+        boxb = bounding_rect(q, gray.shape, border=self.config.tracker.roi_border)
+        x0, x1, y0, y1 = boxb
+        roi = gray[y0:y1, x0:x1]
+        corners = good_features(
+            jnp.asarray(roi),
+            max_corners=cfg.max_features - 4,
+            quality_level=cfg.harris_quality,
+            block=cfg.harris_block,
+            k=cfg.harris_k,
+        )
+        pts = np.asarray(corners.points) + np.array([x0, y0], np.float32)
+        cvalid = np.asarray(corners.valid)
+        refined = np.asarray(
+            corner_subpix(
+                jnp.asarray(gray.astype(np.float32)),
+                jnp.asarray(pts.astype(np.float32)),
+                half_win=cfg.subpix_window,
+                max_iters=cfg.subpix_iters,
+                eps=cfg.subpix_eps,
+            )
+        )
+        N = cfg.max_features
+        p = np.zeros((N, 2), np.float32)
+        valid = np.zeros(N, bool)
+        p[0:4] = q
+        valid[0:4] = True
+        p[4:] = refined
+        valid[4:] = cvalid
+        return p, valid, boxa, boxb
+
+    # ------------------------------------------------------------------- run
+    def run(
+        self,
+        video: str | Path,
+        annotation: str | Path | Annotation | None = None,
+        n_frames: int | None = None,
+        start_frame: int | None = None,
+        verbose: bool = True,
+        collect_images: bool = True,
+    ) -> RunResult:
+        cfg = self.config
+        sdt = jnp.float64 if cfg.solver.dtype == "float64" else jnp.float32
+        n = n_frames if n_frames is not None else cfg.n_frames
+
+        with VideoReader(video, cfg.platform) as vr:
+            cam = vr.info
+            if annotation is None:
+                ann = load_annotation(
+                    find_annotation(video, [Path(video).parent.parent / "matlab", Path(video).parent])
+                )
+            elif isinstance(annotation, Annotation):
+                ann = annotation
+            else:
+                ann = load_annotation(annotation)
+
+            scale = cfg.native_scale
+            q = ann.q * scale  # native-4K annotation -> this video's resolution
+            intr = cam.intrinsics(scale=scale).astype(sdt)
+            start = (
+                start_frame
+                if start_frame is not None
+                else (cfg.start_frame if cfg.start_frame is not None else ann.start_frame)
+            )
+            if start is None:
+                raise ValueError("no start frame (annotation lacks one; pass start_frame)")
+
+            plate = jnp.asarray(license_plate_points(cfg.plate_country), sdt)
+            N = cfg.tracker.max_features
+            B = np.zeros((n, 14), np.float64)
+            S = np.zeros((n, 9), np.float64)
+            track_px = np.full((n, N, 2), np.nan, np.float32)
+            proj_px = np.full((n, N, 2), np.nan, np.float32)
+            valid_hist = np.zeros((n, N), bool)
+
+            key = jax.random.PRNGKey(0)
+            t_wall0 = time.time()
+            if verbose:
+                print(f"Starting image processing on {video} ...")
+                print(report.header())
+
+            state = {}
+            frames = vr.prefetch(start=start, count=n, step=cfg.read_speed)
+            first_gray = last_gray = None
+            for i, fr in enumerate(frames):
+                tic = time.time()
+                B[i, 12] = fr.time_s
+                B[i, 13] = fr.index
+                gray = fr.gray
+                last_gray = gray
+                im_dev = jnp.asarray(gray)
+
+                if i == 0:
+                    first_gray = gray if collect_images else None
+                    p, valid, boxa, boxb = self._init_features(gray, q)
+                    pose0 = estimate_world_camera_pose(
+                        intr, jnp.asarray(q, sdt), plate, find_R=True,
+                        config=cfg.solver,
+                    )
+                    t = pose0.t
+                    R = pose0.R
+                    residuals = pose0.residual_rms
+                    # backproject all features to the plate plane, into cam-0 frame
+                    pw2 = image_to_world_plane(intr, R, t, jnp.asarray(p, sdt))
+                    pw3 = jnp.concatenate([pw2, jnp.zeros((N, 1), sdt)], axis=1)
+                    p3 = np.array(pw3 @ R + t)
+                    p3[~valid] = 0.0
+                    p3 = jnp.asarray(p3)
+                    R = jnp.eye(3, dtype=sdt)
+                    B[0, 0:3] = np.asarray(t)
+                    vg = valid.copy()
+                    vp = valid & inside_bbox(p, boxa)
+                    pts_dev = jnp.asarray(p, jnp.float32)
+                    vg_dev = jnp.asarray(vg)
+                    small_prev = self.tracker.initial_small(im_dev)
+                    im_prev = im_dev
+                    # plate-proximal projections for the record
+                    pproj = np.asarray(pose0.p_proj) if False else None
+                    dt = np.nan
+                    dr = 0.0
+                    dist = 0.0
+                    t0_time = B[0, 12]
+                    p_proj_frame = None
+                else:
+                    key, kf = jax.random.split(key)
+                    out = self.tracker.track(im_prev, im_dev, small_prev, pts_dev, vg_dev, kf)
+                    pts_dev = out.points
+                    vg_dev = out.valid
+                    small_prev = out.small_cur
+                    im_prev = im_dev
+                    vg = np.asarray(vg_dev)
+                    vp = vp & vg
+
+                    pose = estimate_world_camera_pose(
+                        intr,
+                        jnp.asarray(pts_dev, sdt),
+                        p3,
+                        t0=jnp.asarray([0.0, 0.0, 1.0], sdt),
+                        R0=R,
+                        find_R=False,
+                        mask=jnp.asarray(vp),
+                        config=cfg.solver,
+                    )
+                    t = pose.t
+                    residuals = pose.residual_rms
+                    p_proj_frame = np.asarray(pose.p_proj)
+
+                    dt = B[i, 12] - B[i - 1, 12]
+                    tnp = np.asarray(t, np.float64)
+                    dr = float(np.linalg.norm(tnp + B[0, 0:3] - B[i - 1, 0:3]))
+                    dist += dr
+                    B[i, 3:6] = tnp
+                    B[i, 0:3] = B[0, 0:3] + tnp
+
+                # record history
+                pnp = np.asarray(pts_dev)
+                track_px[i, vg] = pnp[vg]
+                valid_hist[i] = vg
+                if p_proj_frame is not None:
+                    proj_px[i, vp] = p_proj_frame[vp]
+
+                if i == cfg.msv_frame:
+                    msv = msv_refine_translation(
+                        intr,
+                        jnp.asarray(track_px[: i + 1], sdt),
+                        jnp.asarray(vg),
+                        jnp.asarray(B[: i + 1, 0:3], sdt),
+                        config=cfg.solver,
+                    )
+                    p3_new = np.array(p3)
+                    cloud = np.asarray(msv.points - jnp.asarray(t, sdt))
+                    p3_new[vg] = cloud[vg]
+                    p3 = jnp.asarray(p3_new)
+                    vp = vg.copy()
+
+                S[i, :] = (
+                    i,
+                    time.time() - tic,
+                    float(vg.sum()),
+                    float(residuals),
+                    dt,
+                    B[i, 12] - t0_time,
+                    dr,
+                    dist,
+                    dr / dt * 3.6 if np.isfinite(dt) and dt > 0 else np.nan,
+                )
+                if verbose:
+                    print(report.row(S[i]))
+
+            wall = time.time() - t_wall0
+            if verbose:
+                print(report.summary(S))
+                print(f"Processed {n:g} images in {wall:.2f}s ({n / wall:.2f}fps)\n")
+
+        return RunResult(
+            S=S,
+            B=B,
+            track_px=track_px,
+            proj_px=proj_px,
+            valid=valid_hist,
+            plate_box=boxa,
+            roi_box=boxb,
+            camera=cam,
+            config=cfg,
+            first_gray=first_gray,
+            last_gray=last_gray if collect_images else None,
+            timings={"wall_s": wall, "fps": n / wall},
+        )

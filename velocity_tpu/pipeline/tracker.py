@@ -1,0 +1,151 @@
+"""Three-stage coarse-to-fine KLT tracker (the reference's KLTmain, KLT.py:99-134).
+
+Stages, with static (capacity, mask) shapes throughout:
+  1. coarse LK on 1/4-scale full frames (win 15, 4 levels) + RANSAC affine
+     inlier filter -> robust inter-frame translation estimate;
+  2. translation-prior coarse LK at full resolution with forward-backward
+     gate 1 px (the reference's integer-crop regional retrack);
+  3. RANSAC affine from stage-2 survivors (fallback hook if <= min inliers),
+     then fine LK (win 51, single level) through the affine prior with
+     forward-backward gate 0.3 px.
+
+The warp-then-track of the reference (cv2.remap + LK) is fused into LK's
+sampling (ops/lk.py), so each stage is one jitted call with no intermediate
+warped images.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from velocity_tpu.config import TrackerConfig
+from velocity_tpu.ops.lk import lk_pyramidal, lk_forward_backward
+from velocity_tpu.ops.pyramid import resize_nearest
+from velocity_tpu.ops.ransac import estimate_affine_ransac
+
+
+class TrackOutput(NamedTuple):
+    points: jnp.ndarray  # (N, 2) tracked positions (valid lanes only meaningful)
+    valid: jnp.ndarray  # (N,) bool: input valid & stage-3 survival
+    small_cur: jnp.ndarray  # 1/4-scale current frame (for reuse next frame)
+    affine: jnp.ndarray  # (2, 3) stage-3 affine prior actually used
+    n_stage2: jnp.ndarray  # stage-2 survivor count (fallback trigger)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _track_stages(
+    im_prev,
+    im_cur,
+    small_prev,
+    pts,
+    valid,
+    key,
+    cfg: TrackerConfig,
+):
+    dtype = pts.dtype
+    scale = cfg.coarse_scale
+    small_cur = resize_nearest(im_cur, scale)
+
+    # ---- stage 1: coarse global LK on small images + RANSAC inliers ----
+    lk1 = cfg.lk_coarse
+    r1 = lk_pyramidal(
+        small_prev.astype(dtype),
+        small_cur.astype(dtype),
+        pts * scale,
+        win=lk1.window,
+        max_level=lk1.max_level,
+        iters=lk1.max_iters,
+        eps=lk1.eps,
+    )
+    p1 = r1.points / scale
+    v1 = valid & r1.status
+    key, k1 = jax.random.split(key)
+    ransac1 = estimate_affine_ransac(
+        pts, p1, mask=v1, key=k1, trials=cfg.ransac_trials, threshold=cfg.ransac_threshold
+    )
+    v1 = v1 & ransac1.inliers
+
+    # ---- stage 2: translation-prior coarse LK at full resolution ----
+    m1 = v1.astype(dtype)[:, None]
+    n1 = jnp.maximum(jnp.sum(v1), 1)
+    mean_shift = jnp.sum((p1 - pts) * m1, axis=0) / n1
+    shift_int = jnp.trunc(mean_shift)  # reference: int() truncation (KLT.py:66-67)
+    T_trans = jnp.concatenate([jnp.eye(2, dtype=dtype), shift_int[:, None]], axis=1)
+    r2 = lk_forward_backward(
+        im_prev.astype(dtype),
+        im_cur.astype(dtype),
+        pts,
+        fb_threshold=cfg.fb_threshold_coarse,
+        warp_dst=T_trans,
+        win=lk1.window,
+        max_level=lk1.max_level,
+        iters=lk1.max_iters,
+        eps=lk1.eps,
+    )
+    p2 = r2.points + shift_int  # back to current-frame coordinates
+    v2 = valid & r2.status
+    n2 = jnp.sum(v2)
+
+    # ---- affine for stage 3 from stage-2 survivors ----
+    key, k2 = jax.random.split(key)
+    ransac2 = estimate_affine_ransac(
+        pts, p2, mask=v2, key=k2, trials=cfg.ransac_trials, threshold=cfg.ransac_threshold
+    )
+    # degenerate guard: if stage 2 collapsed, fall back to stage-1 model
+    use2 = n2 > cfg.min_affine_inliers
+    T23 = jnp.where(use2, ransac2.M, ransac1.M)
+
+    return small_cur, T23, n2, key
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _track_fine(im_prev, im_cur, pts, valid, T23, cfg: TrackerConfig):
+    dtype = pts.dtype
+    lk3 = cfg.lk_fine
+    r3 = lk_forward_backward(
+        im_prev.astype(dtype),
+        im_cur.astype(dtype),
+        pts,
+        fb_threshold=cfg.fb_threshold_fine,
+        warp_dst=T23,
+        win=lk3.window,
+        max_level=lk3.max_level,
+        iters=lk3.max_iters,
+        eps=lk3.eps,
+    )
+    # map solved (previous-frame) coords through the affine into current frame
+    p3 = r3.points @ T23[:, :2].T + T23[:, 2]
+    v3 = valid & r3.status
+    return p3, v3
+
+
+class ThreeStageTracker:
+    """Stateless tracker object binding a TrackerConfig (+ optional fallback).
+
+    ``fallback_matcher(im_prev, im_cur, pts, valid) -> (2,3) affine`` replaces
+    the reference's SURF full-frame rescue (KLT.py:10-33,126-130) when stage 2
+    yields too few survivors; by default the stage-1 RANSAC model is used.
+    """
+
+    def __init__(self, cfg: TrackerConfig, fallback_matcher: Callable | None = None):
+        self.cfg = cfg
+        self.fallback_matcher = fallback_matcher
+
+    def track(self, im_prev, im_cur, small_prev, pts, valid, key) -> TrackOutput:
+        cfg = self.cfg
+        small_cur, T23, n2, _ = _track_stages(
+            im_prev, im_cur, small_prev, pts, valid, key, cfg
+        )
+        if self.fallback_matcher is not None and int(n2) <= cfg.min_affine_inliers:
+            T23 = jnp.asarray(
+                self.fallback_matcher(im_prev, im_cur, pts, valid), pts.dtype
+            )
+        p3, v3 = _track_fine(im_prev, im_cur, pts, valid, T23, cfg)
+        return TrackOutput(points=p3, valid=v3, small_cur=small_cur, affine=T23, n_stage2=n2)
+
+    def initial_small(self, im_prev):
+        return resize_nearest(im_prev, self.cfg.coarse_scale)
