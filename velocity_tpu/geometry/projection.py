@@ -97,16 +97,20 @@ def world_to_image(intr: Intrinsics, C, t, pw):
 def image_to_world_plane(intr: Intrinsics, C, t, p):
     """Backproject pixels to the world z=0 plane (inverse plane homography).
 
-    Parity: reference ``image2world`` (/root/reference/utils/common.py:49-55):
-    ``tform = [[C00 C01 C02],[C10 C11 C12],[t]] @ K``; ``pw = [p 1] @ inv(tform)``.
+    Parity: reference ``image2world`` (/root/reference/utils/common.py:49-55),
+    which inverts ``tform = [[C rows],[t]] @ K`` directly. That matrix has
+    pixel-scale entries (condition ~1e6) and loses ~centimeters in f32, so we
+    factor K out analytically: normalize pixels first (exact ops), then invert
+    only the O(1)-conditioned plane homography ``M = [[C0],[C1],[t]]``.
 
     Returns (..., 2) world xy on the plane.
     """
     dtype = p.dtype
-    K = intr.matrix_rowvec(dtype=dtype)
-    tform = jnp.concatenate([C[0:2, :], t[None, :]], axis=0) @ K
-    ph = jnp.concatenate([p, jnp.ones(p.shape[:-1] + (1,), dtype)], axis=-1)
-    pw = ph @ jnp.linalg.inv(tform)
+    yn = (p[..., 1] - intr.cy) / intr.fy
+    xn = (p[..., 0] - intr.cx - intr.skew * yn) / intr.fx
+    ph = jnp.stack([xn, yn, jnp.ones_like(xn)], axis=-1)
+    M = jnp.concatenate([C[0:2, :], t[None, :]], axis=0)
+    pw = ph @ jnp.linalg.inv(M.astype(dtype))
     return pw[..., 0:2] / pw[..., 2:3]
 
 

@@ -1,0 +1,140 @@
+"""Frame-window data parallelism + pose-graph stitching for long sequences.
+
+The long-video analog of sequence parallelism (SURVEY.md §2.4): a video is cut
+into overlapping keyframe windows; each window's bundle adjustment is
+independent given its boundary anchors, so windows shard across one mesh axis
+(pure data parallelism) while each window's point blocks shard across a second
+axis (the ba_dist Schur reduction). Windows are then stitched into a global
+trajectory by aligning the overlapping frames — a chain pose graph, which is
+the exact graph shape of forward vehicle motion.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from velocity_tpu.config import BAConfig
+from velocity_tpu.solvers.ba import BAProblem
+from velocity_tpu.solvers.schur import (
+    compute_blocks,
+    schur_point_blocks,
+    schur_camera_partials,
+    schur_assemble_solve,
+    schur_backsub,
+)
+
+
+def split_windows(n_frames: int, window: int, overlap: int = 1):
+    """[(start, end), ...] covering n_frames with ``overlap`` shared frames."""
+    if window <= overlap:
+        raise ValueError("window must exceed overlap")
+    out = []
+    s = 0
+    while True:
+        e = min(s + window, n_frames)
+        out.append((s, e))
+        if e >= n_frames:
+            return out
+        s = e - overlap
+
+
+def windowed_ba(
+    pixels,  # (nw, nc, nt, 2)
+    mask,  # (nw, nc, nt)
+    points0,  # (nw, nt, 3)
+    cams0,  # (nw, nc, 6)
+    intr,
+    mesh: Mesh,
+    window_axis: str = "window",
+    point_axis: str = "point",
+    config: BAConfig = BAConfig(),
+):
+    """Batched per-window Schur BA: windows sharded over ``window_axis``,
+    each window's tracks sharded over ``point_axis``.
+
+    Returns (points (nw, nt, 3), cams (nw, nc, 6), iterations (nw,)).
+    """
+    dtype = points0.dtype
+    nw, nc, nt = pixels.shape[0], pixels.shape[1], pixels.shape[2]
+    inv_f = 1.0 / intr.fx
+    lam = config.damping * inv_f * inv_f
+    tol = max(config.tol, 50.0 * float(jnp.finfo(dtype).eps))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(window_axis, None, point_axis, None),
+            P(window_axis, None, point_axis),
+            P(window_axis, point_axis, None),
+            P(window_axis, None, None),
+        ),
+        out_specs=(
+            P(window_axis, point_axis, None),
+            P(window_axis, None, None),
+            P(window_axis),
+        ),
+        check_vma=False,
+    )
+    def solve(pix_l, mask_l, pts_l, cams_l):
+        def one_window(pix, msk, p0, c0):
+            prob = BAProblem(intr=intr, pixels=pix, mask=msk, points0=p0, cams0=c0)
+
+            def step(carry):
+                points, cams, i, _ = carry
+                blocks = compute_blocks(intr, prob, points, cams)
+                Vinv, gp, W = schur_point_blocks(blocks, lam, dtype)
+                U, SW, gc, rhs_red = schur_camera_partials(blocks, Vinv, gp, W)
+                U, SW, gc, rhs_red = jax.lax.psum((U, SW, gc, rhs_red), point_axis)
+                dc_raw = schur_assemble_solve(U, SW, gc, rhs_red, lam, dtype)
+                dp = schur_backsub(Vinv, gp, W, dc_raw) * config.step_scale
+                dcams = dc_raw.reshape(nc, 6) * config.step_scale
+                sum_dp = jax.lax.psum(jnp.sum(dp * dp), point_axis)
+                nx = jnp.asarray(nt * 3 + (nc - 1) * 6, dtype)
+                drms = jnp.sqrt((sum_dp + jnp.sum(dcams[1:] ** 2)) / nx)
+                return points + dp, cams + dcams, i + 1, drms
+
+            def cond(carry):
+                _, _, i, d = carry
+                return (i < config.max_iters) & (d >= tol)
+
+            points, cams, iters, _ = jax.lax.while_loop(
+                cond, step, (p0, c0, jnp.int32(0), jnp.asarray(jnp.inf, dtype))
+            )
+            return points, cams, iters
+
+        return jax.vmap(one_window)(pix_l, mask_l, pts_l, cams_l)
+
+    return solve(pixels, mask, points0, cams0)
+
+
+def stitch_windows(cam_positions, overlap: int = 1):
+    """Chain-stitch per-window camera trajectories into one global trajectory.
+
+    Args:
+      cam_positions: (nw, F, 3) per-window positions, window-local frames
+        (each window's first camera at its own origin).
+      overlap: number of shared frames between consecutive windows.
+
+    Returns:
+      (n_total, 3) global positions, n_total = nw*F - (nw-1)*overlap.
+    """
+    cam_positions = np.asarray(cam_positions)
+    nw, F, _ = cam_positions.shape
+    out = [cam_positions[0]]
+    offset = np.zeros(3)
+    for w in range(1, nw):
+        prev = cam_positions[w - 1]
+        cur = cam_positions[w]
+        # align the overlapping frames in the previous window's frame
+        offset = offset + np.mean(
+            prev[F - overlap :] - cur[:overlap], axis=0
+        )
+        out.append(cur[overlap:] + offset)
+    return np.concatenate(out, axis=0)

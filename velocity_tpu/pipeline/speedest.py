@@ -108,6 +108,44 @@ class SpeedEstimator:
         valid[4:] = cvalid
         return p, valid, boxa, boxb
 
+    # ------------------------------------------------------------------ init
+    def _init_geometry(self, cam: CameraInfo, q: np.ndarray, p: np.ndarray,
+                       valid: np.ndarray, scale: float):
+        """Frame-0 geometry: 6-DoF plate solve + plane backprojection of all
+        features — run on host CPU in float64.
+
+        The plane intersection for off-plate points is intrinsically
+        noise-amplifying (grazing incidence), so f32 loses ~cm here no matter
+        the formulation; this is a once-per-video init, so it runs f64 on the
+        host regardless of the steady-state device dtype.
+        """
+        cfg = self.config
+        prev_x64 = jax.config.jax_enable_x64
+        jax.config.update("jax_enable_x64", True)
+        try:
+            with jax.default_device(jax.devices("cpu")[0]):
+                intr64 = cam.intrinsics(scale=scale).astype(jnp.float64)
+                plate = jnp.asarray(
+                    license_plate_points(cfg.plate_country), jnp.float64
+                )
+                pose0 = estimate_world_camera_pose(
+                    intr64, jnp.asarray(q, jnp.float64), plate, find_R=True,
+                    config=cfg.solver,
+                )
+                pw2 = image_to_world_plane(
+                    intr64, pose0.R, pose0.t, jnp.asarray(p, jnp.float64)
+                )
+                pw3 = jnp.concatenate(
+                    [pw2, jnp.zeros((p.shape[0], 1), jnp.float64)], axis=1
+                )
+                p3 = np.array(pw3 @ pose0.R + pose0.t)
+                p3[~valid] = 0.0
+                t0 = np.asarray(pose0.t, np.float64)
+                res0 = float(pose0.residual_rms)
+        finally:
+            jax.config.update("jax_enable_x64", prev_x64)
+        return t0, p3, res0
+
     # ------------------------------------------------------------------- run
     def run(
         self,
@@ -119,7 +157,9 @@ class SpeedEstimator:
         collect_images: bool = True,
     ) -> RunResult:
         cfg = self.config
-        sdt = jnp.float64 if cfg.solver.dtype == "float64" else jnp.float32
+        # steady-state solver dtype: f64 only when both requested and available
+        want64 = cfg.solver.dtype == "float64" and jax.config.jax_enable_x64
+        sdt = jnp.float64 if want64 else jnp.float32
         n = n_frames if n_frames is not None else cfg.n_frames
 
         with VideoReader(video, cfg.platform) as vr:
@@ -144,7 +184,6 @@ class SpeedEstimator:
             if start is None:
                 raise ValueError("no start frame (annotation lacks one; pass start_frame)")
 
-            plate = jnp.asarray(license_plate_points(cfg.plate_country), sdt)
             N = cfg.tracker.max_features
             B = np.zeros((n, 14), np.float64)
             S = np.zeros((n, 9), np.float64)
@@ -172,29 +211,18 @@ class SpeedEstimator:
                 if i == 0:
                     first_gray = gray if collect_images else None
                     p, valid, boxa, boxb = self._init_features(gray, q)
-                    pose0 = estimate_world_camera_pose(
-                        intr, jnp.asarray(q, sdt), plate, find_R=True,
-                        config=cfg.solver,
-                    )
-                    t = pose0.t
-                    R = pose0.R
-                    residuals = pose0.residual_rms
-                    # backproject all features to the plate plane, into cam-0 frame
-                    pw2 = image_to_world_plane(intr, R, t, jnp.asarray(p, sdt))
-                    pw3 = jnp.concatenate([pw2, jnp.zeros((N, 1), sdt)], axis=1)
-                    p3 = np.array(pw3 @ R + t)
-                    p3[~valid] = 0.0
-                    p3 = jnp.asarray(p3)
+                    t_np, p3_np, res0 = self._init_geometry(cam, q, p, valid, scale)
+                    t = jnp.asarray(t_np, sdt)
+                    p3 = jnp.asarray(p3_np, sdt)
+                    residuals = res0
                     R = jnp.eye(3, dtype=sdt)
-                    B[0, 0:3] = np.asarray(t)
+                    B[0, 0:3] = t_np
                     vg = valid.copy()
                     vp = valid & inside_bbox(p, boxa)
                     pts_dev = jnp.asarray(p, jnp.float32)
                     vg_dev = jnp.asarray(vg)
                     small_prev = self.tracker.initial_small(im_dev)
                     im_prev = im_dev
-                    # plate-proximal projections for the record
-                    pproj = np.asarray(pose0.p_proj) if False else None
                     dt = np.nan
                     dr = 0.0
                     dist = 0.0
@@ -239,17 +267,27 @@ class SpeedEstimator:
                     proj_px[i, vp] = p_proj_frame[vp]
 
                 if i == cfg.msv_frame:
-                    msv = msv_refine_translation(
-                        intr,
-                        jnp.asarray(track_px[: i + 1], sdt),
-                        jnp.asarray(vg),
-                        jnp.asarray(B[: i + 1, 0:3], sdt),
-                        config=cfg.solver,
-                    )
+                    # MSV scale transfer: once per video; triangulation of
+                    # distant background features is noise-amplifying, so run
+                    # it host-side in f64 like the frame-0 init.
+                    prev_x64 = jax.config.jax_enable_x64
+                    jax.config.update("jax_enable_x64", True)
+                    try:
+                        with jax.default_device(jax.devices("cpu")[0]):
+                            intr64 = cam.intrinsics(scale=scale).astype(jnp.float64)
+                            msv = msv_refine_translation(
+                                intr64,
+                                jnp.asarray(track_px[: i + 1], jnp.float64),
+                                jnp.asarray(vg),
+                                jnp.asarray(B[: i + 1, 0:3], jnp.float64),
+                                config=cfg.solver,
+                            )
+                            cloud = np.asarray(msv.points) - np.asarray(t, np.float64)
+                    finally:
+                        jax.config.update("jax_enable_x64", prev_x64)
                     p3_new = np.array(p3)
-                    cloud = np.asarray(msv.points - jnp.asarray(t, sdt))
                     p3_new[vg] = cloud[vg]
-                    p3 = jnp.asarray(p3_new)
+                    p3 = jnp.asarray(p3_new, sdt)
                     vp = vg.copy()
 
                 S[i, :] = (

@@ -51,6 +51,10 @@ def lm_solve(
     nx = x0.shape[0]
     eye = jnp.eye(nx, dtype=dtype) * jnp.asarray(damping, dtype)
     big = jnp.asarray(jnp.inf, dtype)
+    # dtype-aware convergence floor: the reference's 1e-8 is unreachable in
+    # f32 (steps stagnate at rounding noise ~50 eps); stop there instead of
+    # burning the full iteration budget.
+    tol = max(tol, 50.0 * float(jnp.finfo(dtype).eps))
 
     def rms_of(v, n):
         return jnp.sqrt(jnp.sum(v * v) / n)

@@ -34,18 +34,28 @@ class PoseResult(NamedTuple):
 
 
 def _masked_residual(intr, p, mask, predict):
-    """Build r = where(mask, p - predict(x), 0) flattened, plus the valid count.
+    """Build r = where(mask, (p - predict(x))/fx, 0) flattened, + valid count
+    and the matching damping scale.
 
     ``where`` (not multiply) so NaN observations or projections in masked lanes
     cannot poison the residual or its Jacobian.
+
+    The residual is expressed in *normalized* image units (pixels / fx): this
+    rescales J^T J from pixel^2 (~1e7, f32-hostile) to O(1) conditioning. With
+    the Marquardt damping scaled by 1/fx^2 the LM iterates are mathematically
+    identical to the reference's pixel-unit iterates (delta is invariant under
+    r -> s*r, lambda -> s^2*lambda), so golden parity is preserved while f32
+    becomes usable on TPU. Assumes fx == fy (true for the whole camera DB).
     """
     m = mask[:, None]
+    inv_f = 1.0 / intr.fx
 
     def residual(x):
-        return jnp.where(m, p - predict(x), 0.0).ravel()
+        return (jnp.where(m, p - predict(x), 0.0) * inv_f).ravel()
 
     nvalid = 2.0 * jnp.sum(mask)
-    return residual, nvalid
+    damping_scale = inv_f * inv_f
+    return residual, nvalid, damping_scale
 
 
 def solve_translation(
@@ -59,14 +69,14 @@ def solve_translation(
     """3-parameter LM: find t minimizing ||p - project(pw + t)|| over valid lanes."""
     if mask is None:
         mask = jnp.ones(p.shape[0], bool)
-    residual, nvalid = _masked_residual(
+    residual, nvalid, dscale = _masked_residual(
         intr, p, mask, lambda x: project_camera_points(intr, pw + x)
     )
     return lm_solve(
         residual,
         jnp.asarray(t0),
         max_iters=config.max_iters_pose,
-        damping=config.damping,
+        damping=config.damping * dscale,
         tol=config.tol,
         ramp_rate=config.ramp_rate,
         num_residuals=nvalid,
@@ -84,7 +94,7 @@ def solve_pose_rt(
     """6-parameter LM over [roll, pitch, yaw, tx, ty, tz]."""
     if mask is None:
         mask = jnp.ones(p.shape[0], bool)
-    residual, nvalid = _masked_residual(
+    residual, nvalid, dscale = _masked_residual(
         intr,
         p,
         mask,
@@ -94,7 +104,7 @@ def solve_pose_rt(
         residual,
         jnp.asarray(x0),
         max_iters=config.max_iters_pose,
-        damping=config.damping,
+        damping=config.damping * dscale,
         tol=config.tol,
         ramp_rate=config.ramp_rate,
         num_residuals=nvalid,

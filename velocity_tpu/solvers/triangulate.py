@@ -130,6 +130,9 @@ def msv_refine_translation(
     z = pix[nf - 1]  # (N, 2) observations in the newest frame
     mz = mask[:, None]
     intercept = nray_intercept if use_nray else pairwise_intercept
+    # normalized-unit residual + matched damping: identical iterates to the
+    # pixel-unit reference, f32-friendly conditioning (see solvers/pose.py).
+    inv_f = 1.0 / intr.fx
 
     def residual(x):
         A = jnp.concatenate([u0[:-1], -x[None, :]], axis=0)  # (nf, 3)
@@ -138,13 +141,13 @@ def msv_refine_translation(
         zhat = project_camera_points(intr, cloud)
         # where (not multiply): masked lanes can triangulate to inf/nan
         # (parallel sanitized rays) and 0*nan would poison the residual.
-        return jnp.where(mz, z - zhat, 0.0).ravel()
+        return (jnp.where(mz, z - zhat, 0.0) * inv_f).ravel()
 
     res: LMResult = lm_solve(
         residual,
         jnp.asarray(x0, dtype),
         max_iters=config.max_iters_msv,
-        damping=config.damping,
+        damping=config.damping * inv_f * inv_f,
         tol=config.tol,
         use_ramp=False,
         num_residuals=2.0 * jnp.sum(mask),
