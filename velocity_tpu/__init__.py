@@ -21,4 +21,13 @@ collectives via ``shard_map``/``psum`` over ``jax.sharding.Mesh``.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# SfM correctness requires true-f32 matmuls: TPU default precision lowers f32
+# dot/einsum operands to bf16, which injects ~5 px projection error on distant
+# points (0.4% relative on ~50 m coordinates). All matmuls in this framework
+# are small (Nx3 @ 3x3 geometry, 2x3/2x6 BA blocks), so 'highest' costs
+# nothing; precision-tolerant future kernels can request lower per-op.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from velocity_tpu import geometry  # noqa: F401

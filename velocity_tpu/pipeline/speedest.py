@@ -33,7 +33,7 @@ from velocity_tpu.ingest.video import VideoReader
 from velocity_tpu.ops.harris import good_features, corner_subpix
 from velocity_tpu.pipeline import report
 from velocity_tpu.pipeline.roi import bounding_rect, inside_bbox
-from velocity_tpu.pipeline.tracker import ThreeStageTracker
+from velocity_tpu.pipeline.tracker import ThreeStageTracker, fused_frame_step
 from velocity_tpu.solvers.pose import estimate_world_camera_pose
 from velocity_tpu.solvers.triangulate import msv_refine_translation
 
@@ -146,6 +146,50 @@ class SpeedEstimator:
             jax.config.update("jax_enable_x64", prev_x64)
         return t0, p3, res0
 
+    # ------------------------------------------------------------ frame step
+    def _frame_step_with_fallback(
+        self, im_prev, im_dev, small_prev, pts_dev, vg_dev, vp_dev, p3,
+        intr, kf, sdt, prev_gray, gray,
+    ):
+        """Fused device step + host feature-match rescue on tracking collapse.
+
+        Mirrors the reference's SURF fallback trigger (KLT.py:126-130): when
+        stage 2 leaves <= min_affine_inliers survivors, a full-frame feature
+        match supplies the affine prior and the fine stage + pose solve rerun.
+        """
+        import numpy as _np
+
+        cfg = self.config
+        out = fused_frame_step(
+            im_prev, im_dev, small_prev, pts_dev, vg_dev, vp_dev,
+            p3, intr, kf, cfg.tracker, cfg.solver, sdt,
+        )
+        if int(out[7]) <= cfg.tracker.min_affine_inliers:
+            from velocity_tpu.ops.match import affine_from_feature_match
+            from velocity_tpu.pipeline.tracker import _track_fine
+            from velocity_tpu.solvers.pose import estimate_world_camera_pose
+
+            T23 = affine_from_feature_match(
+                prev_gray, gray, _np.asarray(pts_dev), _np.asarray(vg_dev),
+                scale=0.5,
+            )
+            T23j = jnp.asarray(T23, jnp.float32)
+            p_new, vg_new = _track_fine(
+                im_prev, im_dev, pts_dev, vg_dev, T23j, cfg.tracker
+            )
+            vp_new = vp_dev & vg_new
+            pose = estimate_world_camera_pose(
+                intr, p_new.astype(sdt), p3,
+                t0=jnp.asarray([0.0, 0.0, 1.0], sdt),
+                R0=jnp.eye(3, dtype=sdt), find_R=False,
+                mask=vp_new, config=cfg.solver,
+            )
+            out = (
+                p_new, vg_new, vp_new, out[3],
+                pose.t, pose.residual_rms, pose.p_proj, out[7], T23j,
+            )
+        return out
+
     # ------------------------------------------------------------------- run
     def run(
         self,
@@ -205,6 +249,7 @@ class SpeedEstimator:
                 B[i, 12] = fr.time_s
                 B[i, 13] = fr.index
                 gray = fr.gray
+                prev_gray = last_gray
                 last_gray = gray
                 im_dev = jnp.asarray(gray)
 
@@ -221,6 +266,7 @@ class SpeedEstimator:
                     vp = valid & inside_bbox(p, boxa)
                     pts_dev = jnp.asarray(p, jnp.float32)
                     vg_dev = jnp.asarray(vg)
+                    vp_dev = jnp.asarray(vp)
                     small_prev = self.tracker.initial_small(im_dev)
                     im_prev = im_dev
                     dt = np.nan
@@ -230,27 +276,17 @@ class SpeedEstimator:
                     p_proj_frame = None
                 else:
                     key, kf = jax.random.split(key)
-                    out = self.tracker.track(im_prev, im_dev, small_prev, pts_dev, vg_dev, kf)
-                    pts_dev = out.points
-                    vg_dev = out.valid
-                    small_prev = out.small_cur
+                    (
+                        pts_dev, vg_dev, vp_dev, small_prev,
+                        t, residuals, pproj_dev, n2, _T23,
+                    ) = self._frame_step_with_fallback(
+                        im_prev, im_dev, small_prev, pts_dev, vg_dev, vp_dev,
+                        p3, intr, kf, sdt, prev_gray, gray,
+                    )
                     im_prev = im_dev
                     vg = np.asarray(vg_dev)
-                    vp = vp & vg
-
-                    pose = estimate_world_camera_pose(
-                        intr,
-                        jnp.asarray(pts_dev, sdt),
-                        p3,
-                        t0=jnp.asarray([0.0, 0.0, 1.0], sdt),
-                        R0=R,
-                        find_R=False,
-                        mask=jnp.asarray(vp),
-                        config=cfg.solver,
-                    )
-                    t = pose.t
-                    residuals = pose.residual_rms
-                    p_proj_frame = np.asarray(pose.p_proj)
+                    vp = np.asarray(vp_dev)
+                    p_proj_frame = np.asarray(pproj_dev)
 
                     dt = B[i, 12] - B[i - 1, 12]
                     tnp = np.asarray(t, np.float64)
@@ -289,6 +325,7 @@ class SpeedEstimator:
                     p3_new[vg] = cloud[vg]
                     p3 = jnp.asarray(p3_new, sdt)
                     vp = vg.copy()
+                    vp_dev = jnp.asarray(vp)
 
                 S[i, :] = (
                     i,

