@@ -21,7 +21,21 @@ collectives via ``shard_map``/``psum`` over ``jax.sharding.Mesh``.
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
+
+# Persistent XLA compilation cache: compiles survive process restarts (the
+# difference between minutes and milliseconds of startup when the TPU sits
+# behind a remote-compile tunnel).
+_cache_dir = _os.environ.get(
+    "VELOCITY_TPU_CACHE", _os.path.expanduser("~/.cache/velocity_tpu_xla")
+)
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without the knobs — not fatal
+    pass
 
 # SfM correctness requires true-f32 matmuls: TPU default precision lowers f32
 # dot/einsum operands to bf16, which injects ~5 px projection error on distant

@@ -1,0 +1,60 @@
+"""Checkpoint/resume at window granularity.
+
+The reference is stateless end-to-end (SURVEY.md §5); for long videos this
+persists the per-window pipeline state (tracks, validity, poses, structure,
+stats) so processing resumes at the last completed window boundary.
+Plain .npz — the state is small (a few MB) and host-resident between windows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+
+@dataclass
+class WindowState:
+    """Everything needed to resume tracking at a window boundary."""
+
+    frame_index: int  # absolute frame index of the boundary frame
+    points: np.ndarray  # (N, 2) current track positions
+    valid: np.ndarray  # (N,) global validity
+    valid_pose: np.ndarray  # (N,) pose-solve subset
+    p3: np.ndarray  # (N, 3) structure
+    B: np.ndarray  # (n_so_far, 14) car info rows
+    S: np.ndarray  # (n_so_far, 9) stats rows
+    meta: dict = field(default_factory=dict)
+
+
+def save_state(path: str | Path, state: WindowState) -> None:
+    meta_keys = np.array(sorted(state.meta.keys()), dtype=np.str_)
+    meta_vals = np.array([str(state.meta[k]) for k in sorted(state.meta)], dtype=np.str_)
+    np.savez_compressed(
+        str(path),
+        frame_index=np.int64(state.frame_index),
+        points=state.points,
+        valid=state.valid,
+        valid_pose=state.valid_pose,
+        p3=state.p3,
+        B=state.B,
+        S=state.S,
+        meta_keys=meta_keys,
+        meta_vals=meta_vals,
+    )
+
+
+def load_state(path: str | Path) -> WindowState:
+    z = np.load(str(path), allow_pickle=False)
+    meta = dict(zip(z["meta_keys"].tolist(), z["meta_vals"].tolist()))
+    return WindowState(
+        frame_index=int(z["frame_index"]),
+        points=z["points"],
+        valid=z["valid"],
+        valid_pose=z["valid_pose"],
+        p3=z["p3"],
+        B=z["B"],
+        S=z["S"],
+        meta=meta,
+    )

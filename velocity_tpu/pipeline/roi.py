@@ -12,14 +12,14 @@ import numpy as np
 def bounding_rect(points: np.ndarray, imshape, border=(0, 0)):
     """Integer bounding box (x0, x1, y0, y1) of points, expanded by ``border``.
 
-    Uses cv2.boundingRect's float-point convention: floor on mins, and
-    width = ceil(max) - floor(min) + 1 (so x1 is one past the ceil'd max).
-    Clamped to [1, width] x [1, height] like the reference.
+    Uses cv2.boundingRect's float-point convention: floor on mins and
+    width = ceil(max) - floor(min). Clamped to [1, width] x [1, height] like
+    the reference.
     """
     xmin = int(np.floor(points[:, 0].min()))
     ymin = int(np.floor(points[:, 1].min()))
-    w = int(np.ceil(points[:, 0].max())) - xmin + 1
-    h = int(np.ceil(points[:, 1].max())) - ymin + 1
+    w = int(np.ceil(points[:, 0].max())) - xmin
+    h = int(np.ceil(points[:, 1].max())) - ymin
     x0, y0 = xmin - border[0], ymin - border[1]
     x1, y1 = xmin + w + border[0], ymin + h + border[1]
     x0 = max(x0, 1)
