@@ -2,13 +2,19 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference CPU implementation measured at 14.67 fps on IMG_4119
-(BASELINE.md). Also validates the speed estimate is within the ATE bound and
-reports it in the auxiliary fields.
+(BASELINE.md). Also validates the speed estimate against the golden value and
+reports it in auxiliary fields.
+
+Strategy: prefer the scan pipeline (2 device dispatches/video); if the device
+rejects the large scanned graph (observed on flaky remote workers), fall back
+to the transfer-lean per-frame driver. Timing is the median of repeated
+post-warmup runs.
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 import time
 
@@ -16,31 +22,54 @@ BASELINE_FPS_4119 = 14.67
 GOLDEN_SPEED_4119 = 18.74
 
 
+def _run_scan(cfg, run, n):
+    from velocity_tpu.pipeline.scan import ScanSpeedRunner
+
+    r = ScanSpeedRunner(cfg)
+    return r.run(run.video, annotation=run.annotation,
+                 start_frame=run.start_frame, n_frames=n, verbose=False)
+
+
+def _run_frames(cfg, run, n):
+    from velocity_tpu.pipeline import SpeedEstimator
+
+    est = SpeedEstimator(cfg)
+    return est.run(run.video, annotation=run.annotation,
+                   start_frame=run.start_frame, n_frames=n,
+                   verbose=False, collect_images=False, lean=True)
+
+
 def main():
     from velocity_tpu.config import PipelineConfig, SolverConfig
-    from velocity_tpu.pipeline import SpeedEstimator
     from velocity_tpu.pipeline.datasets import known_run
 
     run = known_run("IMG_4119")
     cfg = PipelineConfig(solver=SolverConfig(dtype="float32"))
-    est = SpeedEstimator(cfg)
 
-    # warmup: compile all jitted stages + cache annotation/init (3 frames)
-    est.run(run.video, annotation=run.annotation, start_frame=run.start_frame,
-            n_frames=7, verbose=False, collect_images=False)
+    runner = _run_scan
+    mode = "scan"
+    try:
+        runner(cfg, run, 8)  # warmup/compile probe
+    except Exception as e:  # scanned graph rejected -> per-frame fallback
+        sys.stderr.write(f"scan path failed ({type(e).__name__}: {e}); "
+                         "falling back to per-frame driver\n")
+        runner = _run_frames
+        mode = "frames"
+        runner(cfg, run, 8)  # warm the per-frame compiles
 
-    t0 = time.time()
-    res = est.run(run.video, annotation=run.annotation,
-                  start_frame=run.start_frame, n_frames=run.n_frames,
-                  verbose=False, collect_images=False)
-    wall = time.time() - t0
-    fps = run.n_frames / wall
+    walls, res = [], None
+    for _ in range(3):
+        t0 = time.time()
+        res = runner(cfg, run, run.n_frames)
+        walls.append(time.time() - t0)
+    fps = run.n_frames / statistics.median(walls)
 
     out = {
         "metric": "frames/s/chip IMG_4119 end-to-end (incl. decode)",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS_4119, 3),
+        "mode": mode,
         "speed_kmh": round(res.speed_kmh, 2),
         "speed_std": round(res.speed_std, 2),
         "golden_speed_kmh": GOLDEN_SPEED_4119,

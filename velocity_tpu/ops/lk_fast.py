@@ -1,0 +1,361 @@
+"""MXU-formulated Lucas-Kanade: patch extraction once, iterations as matmuls.
+
+The reference-path tracker (ops/lk.py) bilinear-samples the destination image
+every iteration — a batched gather, which TPUs execute on the slow scalar
+path. This engine restructures LK so the inner loop is pure dense math:
+
+  1. Per level, extract one padded patch per point from each image — the only
+    memory-irregular step (axis-aligned ``dynamic_slice`` per point, or the
+    Pallas DMA kernel in ops/patch_pallas.py; affine-warped destination
+    patches are materialized once via a single bilinear gather, mirroring the
+    reference's warp-once-then-track, KLT.py:70-83).
+  2. Bilinear sampling at a fractional offset (dy, dx) becomes
+    ``S_y(dy) @ patch @ S_x(dx)^T`` with tiny interpolation-weight matrices
+    built from iota arithmetic — so every LK iteration is two small batched
+    matmuls plus VPU reductions. No gathers, no dynamic slices.
+
+Semantics match ops/lk.py (same gradients, eps/oscillation stopping, min-eig
+and bounds status) with one documented deviation: each point's search is
+bounded by ``search_radius`` pixels around its initial guess per level
+(samples clamp at the patch edge beyond that). With coarse-to-fine guesses
+and affine priors, residual per-level motion is far below the default radius;
+runaway points are exactly the ones forward-backward gating removes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from velocity_tpu.ops.interp import bilinear_sample
+from velocity_tpu.ops.lk import LKResult, scharr_derivatives, _affine_for_level
+from velocity_tpu.ops.pyramid import build_pyramid
+
+
+def _interp_weights(offset, out_size: int, in_size: int):
+    """(..., out_size, in_size) linear-interp weights for samples at
+    ``j + offset`` (clamped to the patch) along one axis."""
+    j = jnp.arange(out_size, dtype=offset.dtype)
+    k = jnp.arange(in_size, dtype=offset.dtype)
+    pos = jnp.clip(j[..., :, None] + offset[..., None, None], 0.0, in_size - 1.0)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(k[None, :] - pos))
+
+
+def _sample(patches, dy, dx, win: int):
+    """Batched separable bilinear patch sampling: (N,P,P) -> (N,win,win)."""
+    Sy = _interp_weights(dy, win, patches.shape[-2])  # (N, win, P)
+    Sx = _interp_weights(dx, win, patches.shape[-1])  # (N, win, P)
+    tmp = jnp.einsum("nwp,npq->nwq", Sy, patches)
+    return jnp.einsum("nwq,nvq->nwv", tmp, Sx)
+
+
+def _extract_axis_aligned(img, corners, size: int):
+    """(N, size, size) patches at integer corners (clamped), via dynamic_slice.
+
+    Images smaller than the patch (top pyramid levels) are edge-padded first.
+    """
+    H, W = img.shape
+    if H < size or W < size:
+        img = jnp.pad(
+            img, ((0, max(0, size - H)), (0, max(0, size - W))), mode="edge"
+        )
+        H, W = img.shape
+    cy = jnp.clip(corners[:, 1], 0, H - size)
+    cx = jnp.clip(corners[:, 0], 0, W - size)
+
+    def one(cyi, cxi):
+        return jax.lax.dynamic_slice(img, (cyi, cxi), (size, size))
+
+    patches = jax.vmap(one)(cy, cx)
+    return patches, jnp.stack([cx, cy], axis=1)
+
+
+def _extract_warped(img, centers, size: int, M):
+    """(N, size, size) patches sampled through affine M at integer grid around
+    ``centers`` (one-time gather; the fast path's only irregular dest access)."""
+    dtype = centers.dtype
+    half = (size - 1) // 2
+    corner = jnp.floor(centers).astype(jnp.int32) - half
+    off = jnp.arange(size, dtype=dtype)
+    gx = corner[:, 0, None, None].astype(dtype) + off[None, None, :]
+    gy = corner[:, 1, None, None].astype(dtype) + off[None, :, None]
+    sx = M[0, 0] * gx + M[0, 1] * gy + M[0, 2]
+    sy = M[1, 0] * gx + M[1, 1] * gy + M[1, 2]
+    return bilinear_sample(img, sx, sy), corner.astype(dtype)
+
+
+def _patch_gradients(patches):
+    """Scharr-smoothed central-difference gradients of (N, P, P) patches."""
+    p = jnp.pad(patches, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    P = patches.shape[-1]
+    rm, r0, rp = p[:, 0:P, 1 : 1 + P], p[:, 1 : 1 + P, 1 : 1 + P], p[:, 2 : 2 + P, 1 : 1 + P]
+    sv = (3.0 * rm + 10.0 * r0 + 3.0 * rp) / 16.0
+    cm, c0, cp = p[:, 1 : 1 + P, 0:P], p[:, 1 : 1 + P, 1 : 1 + P], p[:, 1 : 1 + P, 2 : 2 + P]
+    sh = (3.0 * cm + 10.0 * c0 + 3.0 * cp) / 16.0
+    pv = jnp.pad(sv, ((0, 0), (0, 0), (1, 1)), mode="edge")
+    gx = (pv[:, :, 2 : 2 + P] - pv[:, :, 0:P]) * 0.5
+    ph = jnp.pad(sh, ((0, 0), (1, 1), (0, 0)), mode="edge")
+    gy = (ph[:, 2 : 2 + P, :] - ph[:, 0:P, :]) * 0.5
+    return gx, gy
+
+
+@partial(
+    jax.jit,
+    static_argnames=("win", "max_level", "iters", "eps", "min_eig_threshold",
+                     "search_radius"),
+)
+def lk_pyramidal_fast(
+    src_img,
+    dst_img,
+    pts_src,
+    guess=None,
+    *,
+    win: int = 15,
+    max_level: int = 4,
+    iters: int = 10,
+    eps: float = 0.1,
+    min_eig_threshold: float = 1e-4,
+    search_radius: int = 8,
+    warp_dst=None,
+) -> LKResult:
+    """Drop-in fast equivalent of ops.lk.lk_pyramidal (see deviation note)."""
+    dtype = pts_src.dtype if jnp.issubdtype(pts_src.dtype, jnp.floating) else jnp.float32
+    pts_src = pts_src.astype(dtype)
+    src_pyr = build_pyramid(src_img.astype(dtype), max_level)
+    dst_pyr = build_pyramid(dst_img.astype(dtype), max_level)
+
+    N = pts_src.shape[0]
+    half = (win - 1) * 0.5
+    R = search_radius
+    P = win + 2 * R + 3  # window + search + bilinear/gradient margins
+    eps2 = jnp.asarray(eps * eps, dtype)
+    eig_thresh = jnp.asarray(min_eig_threshold * 1024.0, dtype)
+
+    next_pts = (guess if guess is not None else pts_src).astype(dtype)
+    next_pts = next_pts * (1.0 / (1 << max_level))
+    status = jnp.ones(N, bool)
+
+    for level in range(max_level, -1, -1):
+        simg, dimg = src_pyr[level], dst_pyr[level]
+        Hs, Ws = simg.shape
+        Hd, Wd = dimg.shape
+        scale = 1.0 / (1 << level)
+        Md = _affine_for_level(warp_dst, level, dtype)
+        p_l = pts_src * scale
+        cx, cy = p_l[:, 0], p_l[:, 1]
+
+        src_ok = (
+            (jnp.floor(cx - half) >= -win) & (jnp.floor(cy - half) >= -win)
+            & (jnp.floor(cx - half) < Ws) & (jnp.floor(cy - half) < Hs)
+        )
+
+        # ---- one-time source patch + gradients ----
+        corner_f = jnp.floor(p_l).astype(jnp.int32) - (win - 1) // 2 - R - 1
+        spatch, scorner = _extract_axis_aligned(simg, corner_f, P)
+        sgx, sgy = _patch_gradients(spatch)
+        # fixed fractional source window start within the patch
+        su = p_l[:, 0] - half - scorner[:, 0].astype(dtype)
+        sv = p_l[:, 1] - half - scorner[:, 1].astype(dtype)
+        Ip = _sample(spatch, sv, su, win)
+        gxp = _sample(sgx, sv, su, win)
+        gyp = _sample(sgy, sv, su, win)
+
+        a11 = jnp.sum(gxp * gxp, axis=(1, 2))
+        a12 = jnp.sum(gxp * gyp, axis=(1, 2))
+        a22 = jnp.sum(gyp * gyp, axis=(1, 2))
+        det = a11 * a22 - a12 * a12
+        tr = a11 + a22
+        min_eig = (tr - jnp.sqrt((a11 - a22) ** 2 + 4.0 * a12 * a12)) * 0.5 / (win * win)
+        eig_ok = (min_eig >= eig_thresh) & (det >= jnp.finfo(dtype).tiny * 16)
+        trackable = src_ok & eig_ok
+        if level == 0:
+            status = status & trackable
+        inv_det = jnp.where(det != 0, 1.0 / det, 0.0)
+
+        # ---- one-time destination patches around the level guess ----
+        guess_l = next_pts
+        if Md is None:
+            dcorner_i = jnp.floor(guess_l).astype(jnp.int32) - (win - 1) // 2 - R - 1
+            dpatch, dcorner = _extract_axis_aligned(dimg, dcorner_i, P)
+            # dest sampling offset for tracked q: q - half - corner
+            base_x = -dcorner[:, 0].astype(dtype)
+            base_y = -dcorner[:, 1].astype(dtype)
+            lin = jnp.eye(2, dtype=dtype)
+        else:
+            # warped patch: u-grid in source coords; iterate shifts M_lin @ d
+            dpatch, dcorner = _extract_warped(dimg, guess_l, P, Md)
+            base_x = -dcorner[:, 0]
+            base_y = -dcorner[:, 1]
+            lin = Md[:, :2]
+
+        def body(j, carry):
+            npts, done, prev_delta = carry
+            # sampling offsets: displacement from the extraction anchor,
+            # mapped through the warp's linear part when present
+            d = npts - guess_l  # (N, 2) accumulated motion this level
+            ddx = lin[0, 0] * d[:, 0] + lin[0, 1] * d[:, 1]
+            ddy = lin[1, 0] * d[:, 0] + lin[1, 1] * d[:, 1]
+            ox = guess_l[:, 0] - half + base_x + ddx
+            oy = guess_l[:, 1] - half + base_y + ddy
+            Jp = _sample(dpatch, oy, ox, win)
+            diff = Jp - Ip
+            b1 = jnp.sum(diff * gxp, axis=(1, 2))
+            b2 = jnp.sum(diff * gyp, axis=(1, 2))
+            dx_ = -(a22 * b1 - a12 * b2) * inv_det
+            dy_ = -(a11 * b2 - a12 * b1) * inv_det
+            delta = jnp.stack([dx_, dy_], axis=1)
+
+            nx, ny = npts[:, 0], npts[:, 1]
+            inx = jnp.floor(nx - half)
+            iny = jnp.floor(ny - half)
+            in_ok = (inx >= -win) & (iny >= -win) & (inx < Wd) & (iny < Hd)
+
+            active = (~done) & trackable & in_ok
+            npts = jnp.where(active[:, None], npts + delta, npts)
+            small = jnp.sum(delta * delta, axis=1) <= eps2
+            osc = (j > 0) & (jnp.abs(delta + prev_delta) < 0.01).all(axis=1)
+            npts = jnp.where((active & osc)[:, None], npts - delta * 0.5, npts)
+            done = done | small | osc | ~in_ok
+            return npts, done, jnp.where(active[:, None], delta, prev_delta)
+
+        done0 = jnp.zeros(N, bool)
+        pd0 = jnp.zeros((N, 2), dtype)
+        next_pts, _, _ = jax.lax.fori_loop(0, iters, body, (next_pts, done0, pd0))
+
+        if level == 0:
+            inx = jnp.floor(next_pts[:, 0] - half)
+            iny = jnp.floor(next_pts[:, 1] - half)
+            status = status & (inx >= -win) & (iny >= -win) & (inx < Wd) & (iny < Hd)
+        else:
+            next_pts = next_pts * 2.0
+
+    return LKResult(points=next_pts, status=status)
+
+
+def lk_forward_backward_fast(
+    src_img, dst_img, pts_src, *, fb_threshold=None, warp_dst=None, **kw
+) -> LKResult:
+    """Fast forward + backward LK with fb gating (ops.lk.lk_forward_backward
+    semantics). The backward pass swaps images (and applies the warp on the
+    source side by sampling the destination through it)."""
+    fwd = lk_pyramidal_fast(src_img, dst_img, pts_src, warp_dst=warp_dst, **kw)
+    if fb_threshold is None:
+        return fwd
+    if warp_dst is None:
+        bwd = lk_pyramidal_fast(dst_img, src_img, fwd.points, guess=fwd.points, **kw)
+    else:
+        # backward on the (warped dst, src) pair: both live in source coords,
+        # so the backward "source" samples dst through the warp. Reuse the
+        # forward machinery by tracking from a virtual image: this is exactly
+        # lk.py's backward case (warp_src); here we emulate it by swapping
+        # roles in a dedicated pass below.
+        bwd = _lk_backward_warped(dst_img, src_img, fwd.points, warp_dst, **kw)
+    fbe = jnp.sqrt(jnp.sum((pts_src - bwd.points) ** 2, axis=1))
+    ok = fwd.status & bwd.status & (fbe < fb_threshold)
+    return LKResult(points=fwd.points, status=ok)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("win", "max_level", "iters", "eps", "min_eig_threshold",
+                     "search_radius"),
+)
+def _lk_backward_warped(
+    wimg,  # destination image (sampled through the warp = backward source)
+    dst_img,  # original source image (backward destination)
+    pts,  # forward results (source-frame coords)
+    M,  # (2,3) affine, source->wimg coords
+    *,
+    win: int = 15,
+    max_level: int = 4,
+    iters: int = 10,
+    eps: float = 0.1,
+    min_eig_threshold: float = 1e-4,
+    search_radius: int = 8,
+) -> LKResult:
+    """Backward pass where the *source* patches come through the warp."""
+    dtype = pts.dtype if jnp.issubdtype(pts.dtype, jnp.floating) else jnp.float32
+    pts = pts.astype(dtype)
+    src_pyr = build_pyramid(wimg.astype(dtype), max_level)
+    dst_pyr = build_pyramid(dst_img.astype(dtype), max_level)
+
+    N = pts.shape[0]
+    half = (win - 1) * 0.5
+    R = search_radius
+    P = win + 2 * R + 3
+    eps2 = jnp.asarray(eps * eps, dtype)
+    eig_thresh = jnp.asarray(min_eig_threshold * 1024.0, dtype)
+
+    next_pts = pts * (1.0 / (1 << max_level))
+    status = jnp.ones(N, bool)
+
+    for level in range(max_level, -1, -1):
+        simg, dimg = src_pyr[level], dst_pyr[level]
+        Hd, Wd = dimg.shape
+        scale = 1.0 / (1 << level)
+        Ml = _affine_for_level(M, level, dtype)
+        p_l = pts * scale
+
+        # warped source patch; its numeric gradients are already with respect
+        # to the warped (source-frame) coordinates — exactly the reference's
+        # Scharr-on-materialized-warp, no extra chain rule.
+        spatch, scorner = _extract_warped(simg, p_l, P, Ml)
+        gxp_full, gyp_full = _patch_gradients(spatch)
+        su = p_l[:, 0] - half - scorner[:, 0]
+        sv = p_l[:, 1] - half - scorner[:, 1]
+        Ip = _sample(spatch, sv, su, win)
+        gxp = _sample(gxp_full, sv, su, win)
+        gyp = _sample(gyp_full, sv, su, win)
+
+        a11 = jnp.sum(gxp * gxp, axis=(1, 2))
+        a12 = jnp.sum(gxp * gyp, axis=(1, 2))
+        a22 = jnp.sum(gyp * gyp, axis=(1, 2))
+        det = a11 * a22 - a12 * a12
+        tr = a11 + a22
+        min_eig = (tr - jnp.sqrt((a11 - a22) ** 2 + 4 * a12 * a12)) * 0.5 / (win * win)
+        trackable = (min_eig >= eig_thresh) & (det >= jnp.finfo(dtype).tiny * 16)
+        if level == 0:
+            status = status & trackable
+        inv_det = jnp.where(det != 0, 1.0 / det, 0.0)
+
+        guess_l = next_pts
+        dci = jnp.floor(guess_l).astype(jnp.int32) - (win - 1) // 2 - R - 1
+        dpatch, dcorner = _extract_axis_aligned(dimg, dci, P)
+        base_x = -dcorner[:, 0].astype(dtype)
+        base_y = -dcorner[:, 1].astype(dtype)
+
+        def body(j, carry):
+            npts, done, prev_delta = carry
+            ox = npts[:, 0] - half + base_x
+            oy = npts[:, 1] - half + base_y
+            Jp = _sample(dpatch, oy, ox, win)
+            diff = Jp - Ip
+            b1 = jnp.sum(diff * gxp, axis=(1, 2))
+            b2 = jnp.sum(diff * gyp, axis=(1, 2))
+            dx_ = -(a22 * b1 - a12 * b2) * inv_det
+            dy_ = -(a11 * b2 - a12 * b1) * inv_det
+            delta = jnp.stack([dx_, dy_], axis=1)
+            inx = jnp.floor(npts[:, 0] - half)
+            iny = jnp.floor(npts[:, 1] - half)
+            in_ok = (inx >= -win) & (iny >= -win) & (inx < Wd) & (iny < Hd)
+            active = (~done) & trackable & in_ok
+            npts = jnp.where(active[:, None], npts + delta, npts)
+            small = jnp.sum(delta * delta, axis=1) <= eps2
+            osc = (j > 0) & (jnp.abs(delta + prev_delta) < 0.01).all(axis=1)
+            npts = jnp.where((active & osc)[:, None], npts - delta * 0.5, npts)
+            done = done | small | osc | ~in_ok
+            return npts, done, jnp.where(active[:, None], delta, prev_delta)
+
+        next_pts, _, _ = jax.lax.fori_loop(
+            0, iters, body, (next_pts, jnp.zeros(N, bool), jnp.zeros((N, 2), dtype))
+        )
+        if level == 0:
+            inx = jnp.floor(next_pts[:, 0] - half)
+            iny = jnp.floor(next_pts[:, 1] - half)
+            status = status & (inx >= -win) & (iny >= -win) & (inx < Wd) & (iny < Hd)
+        else:
+            next_pts = next_pts * 2.0
+
+    return LKResult(points=next_pts, status=status)

@@ -43,7 +43,7 @@ def scan_segment(
     def body(carry, xs):
         im_prev, small_prev, pts, vg, vp = carry
         im_cur, key = xs
-        (pts2, vg2, vp2, small2, t, res, pproj, n2, _T) = fused_frame_step(
+        (pts2, vg2, vp2, small2, t, res, pproj, n2, _T, _packed) = fused_frame_step(
             im_prev, im_cur, small_prev, pts, vg, vp, p3, intr, key,
             cfg, solver_cfg, solver_dtype,
         )

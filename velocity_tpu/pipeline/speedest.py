@@ -184,9 +184,15 @@ class SpeedEstimator:
                 R0=jnp.eye(3, dtype=sdt), find_R=False,
                 mask=vp_new, config=cfg.solver,
             )
+            packed = jnp.concatenate([
+                pose.t.astype(jnp.float32),
+                jnp.asarray([pose.residual_rms], jnp.float32),
+                jnp.asarray([jnp.sum(vg_new)], jnp.float32),
+                jnp.asarray([out[7]], jnp.float32),
+            ])
             out = (
                 p_new, vg_new, vp_new, out[3],
-                pose.t, pose.residual_rms, pose.p_proj, out[7], T23j,
+                pose.t, pose.residual_rms, pose.p_proj, out[7], T23j, packed,
             )
         return out
 
@@ -199,6 +205,7 @@ class SpeedEstimator:
         start_frame: int | None = None,
         verbose: bool = True,
         collect_images: bool = True,
+        lean: bool = False,
     ) -> RunResult:
         cfg = self.config
         # steady-state solver dtype: f64 only when both requested and available
@@ -274,33 +281,45 @@ class SpeedEstimator:
                     dist = 0.0
                     t0_time = B[0, 12]
                     p_proj_frame = None
+                    n_tracks = float(vg.sum())
                 else:
                     key, kf = jax.random.split(key)
                     (
                         pts_dev, vg_dev, vp_dev, small_prev,
-                        t, residuals, pproj_dev, n2, _T23,
+                        t, residuals, pproj_dev, n2, _T23, packed_dev,
                     ) = self._frame_step_with_fallback(
                         im_prev, im_dev, small_prev, pts_dev, vg_dev, vp_dev,
                         p3, intr, kf, sdt, prev_gray, gray,
                     )
                     im_prev = im_dev
-                    vg = np.asarray(vg_dev)
-                    vp = np.asarray(vp_dev)
-                    p_proj_frame = np.asarray(pproj_dev)
+                    if lean and i > cfg.msv_frame:
+                        # transfer-lean steady state: one packed vector/frame
+                        packed = np.asarray(packed_dev, np.float64)
+                        tnp = packed[0:3]
+                        residuals = packed[3]
+                        n_tracks = packed[4]
+                        vg = vp = p_proj_frame = None
+                    else:
+                        vg = np.asarray(vg_dev)
+                        vp = np.asarray(vp_dev)
+                        p_proj_frame = np.asarray(pproj_dev)
+                        tnp = np.asarray(t, np.float64)
+                        n_tracks = None
 
                     dt = B[i, 12] - B[i - 1, 12]
-                    tnp = np.asarray(t, np.float64)
                     dr = float(np.linalg.norm(tnp + B[0, 0:3] - B[i - 1, 0:3]))
                     dist += dr
                     B[i, 3:6] = tnp
                     B[i, 0:3] = B[0, 0:3] + tnp
 
-                # record history
-                pnp = np.asarray(pts_dev)
-                track_px[i, vg] = pnp[vg]
-                valid_hist[i] = vg
-                if p_proj_frame is not None:
-                    proj_px[i, vp] = p_proj_frame[vp]
+                # record history (skipped in lean steady state)
+                if vg is not None:
+                    pnp = np.asarray(pts_dev)
+                    track_px[i, vg] = pnp[vg]
+                    valid_hist[i] = vg
+                    if p_proj_frame is not None:
+                        proj_px[i, vp] = p_proj_frame[vp]
+                    n_tracks = float(vg.sum())
 
                 if i == cfg.msv_frame:
                     # MSV scale transfer: once per video; triangulation of
@@ -330,7 +349,7 @@ class SpeedEstimator:
                 S[i, :] = (
                     i,
                     time.time() - tic,
-                    float(vg.sum()),
+                    n_tracks,
                     float(residuals),
                     dt,
                     B[i, 12] - t0_time,

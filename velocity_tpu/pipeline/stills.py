@@ -105,7 +105,7 @@ class StillsSpeedEstimator(SpeedEstimator):
                 key, kf = jax.random.split(key)
                 (
                     pts_dev, vg_dev, vp_dev, small_prev,
-                    t, residuals, pproj_dev, n2, _T23,
+                    t, residuals, pproj_dev, n2, _T23, _packed,
                 ) = self._frame_step_with_fallback(
                     im_prev, im_dev, small_prev, pts_dev, vg_dev, vp_dev,
                     p3, intr, kf, sdt, prev_gray, gray,

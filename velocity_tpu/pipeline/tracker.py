@@ -24,8 +24,15 @@ import jax.numpy as jnp
 
 from velocity_tpu.config import TrackerConfig
 from velocity_tpu.ops.lk import lk_pyramidal, lk_forward_backward
+from velocity_tpu.ops.lk_fast import lk_pyramidal_fast, lk_forward_backward_fast
 from velocity_tpu.ops.pyramid import resize_nearest
 from velocity_tpu.ops.ransac import estimate_affine_ransac
+
+
+def _lk_impls(cfg: TrackerConfig):
+    if cfg.lk_backend == "fast":
+        return lk_pyramidal_fast, lk_forward_backward_fast
+    return lk_pyramidal, lk_forward_backward
 
 
 class TrackOutput(NamedTuple):
@@ -49,10 +56,11 @@ def _track_stages(
     dtype = pts.dtype
     scale = cfg.coarse_scale
     small_cur = resize_nearest(im_cur, scale)
+    lk_pyr, lk_fb = _lk_impls(cfg)
 
     # ---- stage 1: coarse global LK on small images + RANSAC inliers ----
     lk1 = cfg.lk_coarse
-    r1 = lk_pyramidal(
+    r1 = lk_pyr(
         small_prev.astype(dtype),
         small_cur.astype(dtype),
         pts * scale,
@@ -75,7 +83,7 @@ def _track_stages(
     mean_shift = jnp.sum((p1 - pts) * m1, axis=0) / n1
     shift_int = jnp.trunc(mean_shift)  # reference: int() truncation (KLT.py:66-67)
     T_trans = jnp.concatenate([jnp.eye(2, dtype=dtype), shift_int[:, None]], axis=1)
-    r2 = lk_forward_backward(
+    r2 = lk_fb(
         im_prev.astype(dtype),
         im_cur.astype(dtype),
         pts,
@@ -106,7 +114,8 @@ def _track_stages(
 def _track_fine(im_prev, im_cur, pts, valid, T23, cfg: TrackerConfig):
     dtype = pts.dtype
     lk3 = cfg.lk_fine
-    r3 = lk_forward_backward(
+    _, lk_fb = _lk_impls(cfg)
+    r3 = lk_fb(
         im_prev.astype(dtype),
         im_cur.astype(dtype),
         pts,
@@ -165,9 +174,19 @@ def fused_frame_step(
         mask=vp_new,
         config=solver_cfg,
     )
+    # packed scalar summary: one small device->host transfer serves the whole
+    # per-frame report when the caller runs transfer-lean (remote TPU)
+    packed = jnp.concatenate(
+        [
+            pose.t.astype(jnp.float32),
+            jnp.asarray([pose.residual_rms], jnp.float32),
+            jnp.asarray([jnp.sum(vg_new)], jnp.float32),
+            jnp.asarray([n2], jnp.float32),
+        ]
+    )
     return (
         p_new, vg_new, vp_new, small_cur,
-        pose.t, pose.residual_rms, pose.p_proj, n2, T23,
+        pose.t, pose.residual_rms, pose.p_proj, n2, T23, packed,
     )
 
 
