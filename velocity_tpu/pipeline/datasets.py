@@ -51,8 +51,10 @@ KNOWN_RUNS = {
     "IMG_4238": KnownRun(
         name="IMG_4238",
         video=f"{DATA}/IMG_4238.MOV",
-        annotation=None,  # reference .mat missing (vidExample.py:21); see
-        # velocity_tpu annotations in repo data/ once generated
+        # the reference's .mat is missing (vidExample.py:21); this annotation
+        # was made with velocity_tpu (plate-quad corner pick on frame 8,
+        # stored native-4K like the .mat files)
+        annotation="/root/repo/data/IMG_4238.MOV.npz",
         start_frame=8,
         n_frames=20,
         gt_speed_kmh=60.0,
