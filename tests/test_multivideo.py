@@ -1,0 +1,35 @@
+"""Batched multi-video pipeline test (slow; CPU mesh)."""
+
+from pathlib import Path
+
+import pytest
+
+from velocity_tpu.pipeline.multivideo import run_batch
+
+HAVE_DATA = Path("/root/reference/data/IMG_4134.MOV").exists()
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not HAVE_DATA, reason="dataset not mounted"),
+]
+
+
+def test_three_videos_batched():
+    res = run_batch(
+        [
+            "/root/reference/data/IMG_4134.MOV",
+            "/root/reference/data/IMG_4119.MOV",
+            "/root/reference/data/IMG_4238.MOV",
+        ],
+        annotations=[None, None, "/root/repo/data/IMG_4238.MOV.npz"],
+        start_frames=[19, 41, 8],
+        n_frames=20,
+        verbose=False,
+    )
+    assert len(res) == 3
+    speeds = [r.speed_kmh for r in res]
+    assert abs(speeds[0] - 39.89) < 1.5, speeds  # golden 4134
+    assert abs(speeds[1] - 18.74) < 1.5, speeds  # golden 4119
+    assert abs(speeds[2] - 60.0) < 12.0, speeds  # GT comment only
+    for r in res:
+        assert r.S.shape == (20, 9)
+        assert r.valid[1:].sum() > 0
