@@ -224,3 +224,34 @@ class TestMSV:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestLinearInit:
+    """planar_pose (extrinsicsPlanar parity) and rotation_lsq (fcnLS_R)."""
+
+    def test_planar_pose_exact(self):
+        from velocity_tpu.solvers.linear_init import planar_pose
+        from velocity_tpu.geometry import license_plate_points
+
+        plate = np.asarray(license_plate_points("Chile"), np.float64)
+        extra = np.concatenate(
+            [RNG.uniform(-0.18, 0.18, (8, 1)), RNG.uniform(-0.06, 0.06, (8, 1)),
+             np.zeros((8, 1))], axis=1)
+        pts = np.concatenate([plate, extra])
+        rpy = np.array([0.4, 0.35, 0.25])
+        t_true = np.array([1.5, 0.45, 3.6])
+        C = np.asarray(rpy_to_matrix(jnp.asarray(rpy)))
+        p = _project_np(INTR, pts @ C + t_true)
+        R, t = planar_pose(INTR, jnp.asarray(p), jnp.asarray(pts))
+        np.testing.assert_allclose(np.asarray(R), C, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(t), t_true, atol=1e-10)
+
+    def test_rotation_lsq_exact(self):
+        from velocity_tpu.solvers.linear_init import rotation_lsq
+
+        C = np.asarray(rpy_to_matrix(jnp.asarray([0.1, -0.2, 0.3])))
+        dirs = RNG.normal(size=(30, 3))
+        dirs[:, 2] = np.abs(dirs[:, 2]) + 2
+        p = _project_np(INTR, dirs @ C)
+        R = rotation_lsq(INTR, jnp.asarray(p), jnp.asarray(dirs))
+        np.testing.assert_allclose(np.asarray(R), C, atol=1e-12)
