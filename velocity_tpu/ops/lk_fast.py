@@ -51,10 +51,29 @@ def _sample(patches, dy, dx, win: int):
     return jnp.einsum("nwq,nvq->nwv", tmp, Sx)
 
 
-def _extract_axis_aligned(img, corners, size: int):
-    """(N, size, size) patches at integer corners (clamped), via dynamic_slice.
+# extraction backend: None = auto (Pallas DMA kernel on TPU, XLA elsewhere)
+USE_PALLAS_EXTRACT: bool | None = None
 
-    Images smaller than the patch (top pyramid levels) are edge-padded first.
+
+def _use_pallas() -> bool:
+    if USE_PALLAS_EXTRACT is not None:
+        return USE_PALLAS_EXTRACT
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+        from velocity_tpu.ops.patch_pallas import available
+
+        return available()
+    except Exception:
+        return False
+
+
+def _extract_axis_aligned(img, corners, size: int):
+    """(N, size, size) patches at integer corners (clamped).
+
+    Dispatches to the Pallas per-point-DMA kernel on TPU (ops/patch_pallas.py)
+    and to vmapped ``dynamic_slice`` elsewhere. Images smaller than the patch
+    (top pyramid levels) are edge-padded first.
     """
     H, W = img.shape
     if H < size or W < size:
@@ -62,6 +81,12 @@ def _extract_axis_aligned(img, corners, size: int):
             img, ((0, max(0, size - H)), (0, max(0, size - W))), mode="edge"
         )
         H, W = img.shape
+    if _use_pallas():
+        from velocity_tpu.ops.patch_pallas import extract_patches_pallas
+
+        patches, cl = extract_patches_pallas(img, corners, size)
+        return patches.astype(img.dtype), cl
+
     cy = jnp.clip(corners[:, 1], 0, H - size)
     cx = jnp.clip(corners[:, 0], 0, W - size)
 
