@@ -93,7 +93,8 @@ class PipelineConfig:
     read_speed: int = 1  # read every Nth frame
     start_frame: int | None = None  # None -> from annotation
     native_scale: float = 0.5  # 4K annotation -> 2K video (vidExample.py:35-39)
-    msv_frame: int = 5  # frame index for MSV scale transfer
+    msv_frame: int = 5  # frame index for the scale transfer
+    anchor: str = "msv"  # "msv" (reference active path) | "ba" (windowed BA)
     tracker: TrackerConfig = field(default_factory=TrackerConfig)
     solver: SolverConfig = field(default_factory=SolverConfig)
     ba: BAConfig = field(default_factory=BAConfig)

@@ -172,23 +172,15 @@ class ScanSpeedRunner:
 
         vg_msv = vgA[seg_a - 1] if seg_a >= 1 else vg0
         if n > msv_i:
-            prev_x64 = jax.config.jax_enable_x64
-            jax.config.update("jax_enable_x64", True)
-            try:
-                with jax.default_device(jax.devices("cpu")[0]):
-                    intr64 = cam.intrinsics(scale=scale).astype(jnp.float64)
-                    msv = msv_refine_translation(
-                        intr64,
-                        jnp.asarray(track_px[: msv_i + 1], jnp.float64),
-                        jnp.asarray(vg_msv),
-                        jnp.asarray(B[: msv_i + 1, 0:3], jnp.float64),
-                        config=cfg.solver,
-                    )
-                    cloud = np.asarray(msv.points) - tA[seg_a - 1].astype(np.float64)
-            finally:
-                jax.config.update("jax_enable_x64", prev_x64)
-            p3_new = np.array(p3_np)
-            p3_new[vg_msv] = cloud[vg_msv]
+            from velocity_tpu.pipeline.anchor import reanchor
+
+            p3_new, t_track = reanchor(
+                cfg, cam, scale, track_px[: msv_i + 1], vg_msv, B,
+                tA[seg_a - 1].astype(np.float64), np.array(p3_np),
+            )
+            if t_track is not None:
+                B[: msv_i + 1, 3:6] = t_track
+                B[: msv_i + 1, 0:3] = B[0, 0:3] + t_track
             p3B = jnp.asarray(p3_new, sdt)
             vpB = jnp.asarray(vg_msv)
 

@@ -322,27 +322,17 @@ class SpeedEstimator:
                     n_tracks = float(vg.sum())
 
                 if i == cfg.msv_frame:
-                    # MSV scale transfer: once per video; triangulation of
-                    # distant background features is noise-amplifying, so run
-                    # it host-side in f64 like the frame-0 init.
-                    prev_x64 = jax.config.jax_enable_x64
-                    jax.config.update("jax_enable_x64", True)
-                    try:
-                        with jax.default_device(jax.devices("cpu")[0]):
-                            intr64 = cam.intrinsics(scale=scale).astype(jnp.float64)
-                            msv = msv_refine_translation(
-                                intr64,
-                                jnp.asarray(track_px[: i + 1], jnp.float64),
-                                jnp.asarray(vg),
-                                jnp.asarray(B[: i + 1, 0:3], jnp.float64),
-                                config=cfg.solver,
-                            )
-                            cloud = np.asarray(msv.points) - np.asarray(t, np.float64)
-                    finally:
-                        jax.config.update("jax_enable_x64", prev_x64)
-                    p3_new = np.array(p3)
-                    p3_new[vg] = cloud[vg]
+                    # scale transfer (once per video; host f64 — see anchor.py)
+                    from velocity_tpu.pipeline.anchor import reanchor
+
+                    p3_new, t_track = reanchor(
+                        cfg, cam, scale, track_px[: i + 1], vg, B,
+                        np.asarray(t, np.float64), np.array(p3),
+                    )
                     p3 = jnp.asarray(p3_new, sdt)
+                    if t_track is not None:  # BA anchor refined the track too
+                        B[: i + 1, 3:6] = t_track
+                        B[: i + 1, 0:3] = B[0, 0:3] + t_track
                     vp = vg.copy()
                     vp_dev = jnp.asarray(vp)
 

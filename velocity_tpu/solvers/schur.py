@@ -35,8 +35,16 @@ class BABlocks(NamedTuple):
     B: jnp.ndarray  # (nc, nt, 2, 6) d zhat_n / d [pos, rpy] (zero for cam 0)
 
 
-def compute_blocks(intr: Intrinsics, problem: BAProblem, points, cams) -> BABlocks:
-    """Analytic residual + Jacobian blocks for all observations."""
+def compute_blocks(
+    intr: Intrinsics, problem: BAProblem, points, cams, fix_rotations: bool = False
+) -> BABlocks:
+    """Analytic residual + Jacobian blocks for all observations.
+
+    ``fix_rotations``: zero the rpy Jacobian columns — cameras optimize
+    translation only (the driver's translation-only motion model; rotations
+    stay at their initial values, typically identity). The damping keeps the
+    reduced system non-singular and the rpy deltas exactly zero.
+    """
     dtype = points.dtype
     nc = cams.shape[0]
     inv_f = (1.0 / intr.fx).astype(dtype) if hasattr(intr.fx, "astype") else 1.0 / intr.fx
@@ -71,6 +79,8 @@ def compute_blocks(intr: Intrinsics, problem: BAProblem, points, cams) -> BABloc
     # B: position part = L; rpy part = L @ (pw @ dC)
     dpc_drpy = jnp.einsum("tm,cmkp->ctkp", points, dC)  # (nc, nt, 3, 3params)
     B_rpy = jnp.einsum("ctik,ctkp->ctip", L, dpc_drpy)  # (nc, nt, 2, 3)
+    if fix_rotations:
+        B_rpy = jnp.zeros_like(B_rpy)
     B = jnp.concatenate([L, B_rpy], axis=-1)  # (nc, nt, 2, 6)
     cam_free = (jnp.arange(nc) > 0)[:, None, None, None]
     B = jnp.where(cam_free, B, 0.0)
@@ -155,7 +165,9 @@ def schur_backsub(Vinv, gp, W, dc):
     return jnp.einsum("tmn,tn->tm", Vinv, gp - Wt_dc)
 
 
-def ba_schur(problem: BAProblem, config: BAConfig = BAConfig()) -> BAResult:
+def ba_schur(
+    problem: BAProblem, config: BAConfig = BAConfig(), fix_rotations: bool = False
+) -> BAResult:
     """Schur-complement BA; same optimum/iterates as ba_dense."""
     intr = problem.intr
     dtype = problem.points0.dtype
@@ -166,7 +178,7 @@ def ba_schur(problem: BAProblem, config: BAConfig = BAConfig()) -> BAResult:
 
     def step(carry):
         points, cams, i, _ = carry
-        blocks = compute_blocks(intr, problem, points, cams)
+        blocks = compute_blocks(intr, problem, points, cams, fix_rotations)
         S, rhs, Vinv, gp, W = schur_reduce(blocks, lam, dtype)
         dc_raw = jnp.linalg.solve(S, rhs)
         dp = schur_backsub(Vinv, gp, W, dc_raw) * config.step_scale
