@@ -43,10 +43,35 @@ def _interp_weights(offset, out_size: int, in_size: int):
     return jnp.maximum(0.0, 1.0 - jnp.abs(k[None, :] - pos))
 
 
-def _sample(patches, dy, dx, win: int):
-    """Batched separable bilinear patch sampling: (N,P,P) -> (N,win,win)."""
-    Sy = _interp_weights(dy, win, patches.shape[-2])  # (N, win, P)
-    Sx = _interp_weights(dx, win, patches.shape[-1])  # (N, win, P)
+def _interp_weights_cubic(offset, out_size: int, in_size: int):
+    """Catmull-Rom (Keys a=-0.5) interpolation weight matrices.
+
+    Used when the patch being sampled is itself a materialized interpolation
+    (warped extraction): a second *linear* pass would compound the smoothing
+    and bias converged LK positions by ~0.2 px — past the 0.3 px fb gate.
+    Cubic reconstruction of the once-interpolated samples removes nearly all
+    of the second-stage error while staying a dense matmul of the same shape.
+    """
+    j = jnp.arange(out_size, dtype=offset.dtype)
+    k = jnp.arange(in_size, dtype=offset.dtype)
+    pos = jnp.clip(j[..., :, None] + offset[..., None, None], 0.0, in_size - 1.0)
+    d = jnp.abs(k[None, :] - pos)
+    w1 = (1.5 * d - 2.5) * d * d + 1.0  # |d| < 1
+    w2 = ((-0.5 * d + 2.5) * d - 4.0) * d + 2.0  # 1 <= |d| < 2
+    w = jnp.where(d < 1.0, w1, jnp.where(d < 2.0, w2, 0.0))
+    # edge renormalization (clipped support near patch borders)
+    return w / jnp.sum(w, axis=-1, keepdims=True)
+
+
+def _sample(patches, dy, dx, win: int, cubic: bool = False):
+    """Batched separable patch sampling: (N,P,P) -> (N,win,win).
+
+    ``cubic=True`` selects Catmull-Rom weights — use it whenever ``patches``
+    was materialized through a warp (see _interp_weights_cubic).
+    """
+    weights = _interp_weights_cubic if cubic else _interp_weights
+    Sy = weights(dy, win, patches.shape[-2])  # (N, win, P)
+    Sx = weights(dx, win, patches.shape[-1])  # (N, win, P)
     tmp = jnp.einsum("nwp,npq->nwq", Sy, patches)
     return jnp.einsum("nwq,nvq->nwv", tmp, Sx)
 
@@ -98,17 +123,23 @@ def _extract_axis_aligned(img, corners, size: int):
 
 
 def _extract_warped(img, centers, size: int, M):
-    """(N, size, size) patches sampled through affine M at integer grid around
-    ``centers`` (one-time gather; the fast path's only irregular dest access)."""
+    """(N, size, size) patches sampled through affine M on a grid anchored at
+    the *exact fractional* ``centers`` (one-time gather; the fast path's only
+    irregular dest access).
+
+    Anchoring at the fractional center (not ``floor``) makes the patch sample
+    positions coincide with the LK window when the residual displacement is
+    zero — so the in-loop patch resampling interpolates only the residual
+    motion, and its error vanishes as LK converges."""
     dtype = centers.dtype
     half = (size - 1) // 2
-    corner = jnp.floor(centers).astype(jnp.int32) - half
+    corner = centers - jnp.asarray(half, dtype)
     off = jnp.arange(size, dtype=dtype)
-    gx = corner[:, 0, None, None].astype(dtype) + off[None, None, :]
-    gy = corner[:, 1, None, None].astype(dtype) + off[None, :, None]
+    gx = corner[:, 0, None, None] + off[None, None, :]
+    gy = corner[:, 1, None, None] + off[None, :, None]
     sx = M[0, 0] * gx + M[0, 1] * gy + M[0, 2]
     sy = M[1, 0] * gx + M[1, 1] * gy + M[1, 2]
-    return bilinear_sample(img, sx, sy), corner.astype(dtype)
+    return bilinear_sample(img, sx, sy), corner
 
 
 def _patch_gradients(patches):
@@ -199,55 +230,60 @@ def lk_pyramidal_fast(
             status = status & trackable
         inv_det = jnp.where(det != 0, 1.0 / det, 0.0)
 
-        # ---- one-time destination patches around the level guess ----
-        guess_l = next_pts
-        if Md is None:
-            dcorner_i = jnp.floor(guess_l).astype(jnp.int32) - (win - 1) // 2 - R - 1
-            dpatch, dcorner = _extract_axis_aligned(dimg, dcorner_i, P)
-            # dest sampling offset for tracked q: q - half - corner
-            base_x = -dcorner[:, 0].astype(dtype)
-            base_y = -dcorner[:, 1].astype(dtype)
-            lin = jnp.eye(2, dtype=dtype)
-        else:
-            # warped patch: u-grid in source coords; iterate shifts M_lin @ d
-            dpatch, dcorner = _extract_warped(dimg, guess_l, P, Md)
-            base_x = -dcorner[:, 0]
-            base_y = -dcorner[:, 1]
-            lin = Md[:, :2]
+        # ---- destination patches anchored at the current estimate ----
+        # Warped dest patches are themselves interpolated, so resampling them
+        # for the residual motion compounds interpolation error. Anchoring the
+        # grid at the exact fractional estimate makes that error vanish as the
+        # residual -> 0; a second extract+iterate phase after convergence
+        # (one extra gather, not one per iteration) removes the first phase's
+        # en-route bias. Axis-aligned patches are exact pixels (single
+        # interpolation in-loop — matches the reference path), one phase.
+        def make_body(anchor, dpatch, base_x, base_y, dest_cubic):
+            def body(j, carry):
+                npts, done, prev_delta = carry
+                d = npts - anchor  # (N, 2) motion since extraction anchor
+                ox = anchor[:, 0] - half + base_x + d[:, 0]
+                oy = anchor[:, 1] - half + base_y + d[:, 1]
+                Jp = _sample(dpatch, oy, ox, win, cubic=dest_cubic)
+                diff = Jp - Ip
+                b1 = jnp.sum(diff * gxp, axis=(1, 2))
+                b2 = jnp.sum(diff * gyp, axis=(1, 2))
+                dx_ = -(a22 * b1 - a12 * b2) * inv_det
+                dy_ = -(a11 * b2 - a12 * b1) * inv_det
+                delta = jnp.stack([dx_, dy_], axis=1)
 
-        def body(j, carry):
-            npts, done, prev_delta = carry
-            # sampling offsets: displacement from the extraction anchor,
-            # mapped through the warp's linear part when present
-            d = npts - guess_l  # (N, 2) accumulated motion this level
-            ddx = lin[0, 0] * d[:, 0] + lin[0, 1] * d[:, 1]
-            ddy = lin[1, 0] * d[:, 0] + lin[1, 1] * d[:, 1]
-            ox = guess_l[:, 0] - half + base_x + ddx
-            oy = guess_l[:, 1] - half + base_y + ddy
-            Jp = _sample(dpatch, oy, ox, win)
-            diff = Jp - Ip
-            b1 = jnp.sum(diff * gxp, axis=(1, 2))
-            b2 = jnp.sum(diff * gyp, axis=(1, 2))
-            dx_ = -(a22 * b1 - a12 * b2) * inv_det
-            dy_ = -(a11 * b2 - a12 * b1) * inv_det
-            delta = jnp.stack([dx_, dy_], axis=1)
+                nx, ny = npts[:, 0], npts[:, 1]
+                inx = jnp.floor(nx - half)
+                iny = jnp.floor(ny - half)
+                in_ok = (inx >= -win) & (iny >= -win) & (inx < Wd) & (iny < Hd)
 
-            nx, ny = npts[:, 0], npts[:, 1]
-            inx = jnp.floor(nx - half)
-            iny = jnp.floor(ny - half)
-            in_ok = (inx >= -win) & (iny >= -win) & (inx < Wd) & (iny < Hd)
+                active = (~done) & trackable & in_ok
+                npts = jnp.where(active[:, None], npts + delta, npts)
+                small = jnp.sum(delta * delta, axis=1) <= eps2
+                osc = (j > 0) & (jnp.abs(delta + prev_delta) < 0.01).all(axis=1)
+                npts = jnp.where((active & osc)[:, None], npts - delta * 0.5, npts)
+                done = done | small | osc | ~in_ok
+                return npts, done, jnp.where(active[:, None], delta, prev_delta)
 
-            active = (~done) & trackable & in_ok
-            npts = jnp.where(active[:, None], npts + delta, npts)
-            small = jnp.sum(delta * delta, axis=1) <= eps2
-            osc = (j > 0) & (jnp.abs(delta + prev_delta) < 0.01).all(axis=1)
-            npts = jnp.where((active & osc)[:, None], npts - delta * 0.5, npts)
-            done = done | small | osc | ~in_ok
-            return npts, done, jnp.where(active[:, None], delta, prev_delta)
+            return body
 
         done0 = jnp.zeros(N, bool)
         pd0 = jnp.zeros((N, 2), dtype)
-        next_pts, _, _ = jax.lax.fori_loop(0, iters, body, (next_pts, done0, pd0))
+        if Md is None:
+            anchor = next_pts
+            dcorner_i = jnp.floor(anchor).astype(jnp.int32) - (win - 1) // 2 - R - 1
+            dpatch, dcorner = _extract_axis_aligned(dimg, dcorner_i, P)
+            body = make_body(anchor, dpatch, -dcorner[:, 0].astype(dtype),
+                             -dcorner[:, 1].astype(dtype), False)
+            next_pts, _, _ = jax.lax.fori_loop(0, iters, body, (next_pts, done0, pd0))
+        else:
+            for phase_iters in (iters, max(2, iters // 4)):
+                anchor = next_pts
+                dpatch, dcorner = _extract_warped(dimg, anchor, P, Md)
+                body = make_body(anchor, dpatch, -dcorner[:, 0], -dcorner[:, 1], True)
+                next_pts, _, _ = jax.lax.fori_loop(
+                    0, phase_iters, body, (next_pts, done0, pd0)
+                )
 
         if level == 0:
             inx = jnp.floor(next_pts[:, 0] - half)
@@ -330,9 +366,9 @@ def _lk_backward_warped(
         gxp_full, gyp_full = _patch_gradients(spatch)
         su = p_l[:, 0] - half - scorner[:, 0]
         sv = p_l[:, 1] - half - scorner[:, 1]
-        Ip = _sample(spatch, sv, su, win)
-        gxp = _sample(gxp_full, sv, su, win)
-        gyp = _sample(gyp_full, sv, su, win)
+        Ip = _sample(spatch, sv, su, win, cubic=True)  # spatch is warped
+        gxp = _sample(gxp_full, sv, su, win, cubic=True)
+        gyp = _sample(gyp_full, sv, su, win, cubic=True)
 
         a11 = jnp.sum(gxp * gxp, axis=(1, 2))
         a12 = jnp.sum(gxp * gyp, axis=(1, 2))

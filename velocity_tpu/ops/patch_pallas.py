@@ -53,7 +53,7 @@ def extract_patches_pallas(img, corners, size: int, interpret: bool = False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, size, size), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
         ),
