@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from velocity_tpu.ops.interp import gather_patches
+from velocity_tpu.ops.interp import extract_patches, sample_patches
 
 
 def _conv3(img, kx3, border="reflect"):
@@ -125,45 +125,65 @@ def corner_subpix(img, points, half_win: int = 5, max_iters: int = 100, eps: flo
     Per point, iterate: sample the (2*half_win+1)^2 window (bilinear), compute
     central-difference gradients, solve the gradient-weighted centroid system
     with the Gaussian mask exp(-(i^2+j^2)/half_win^2), move the corner.
+
+    TPU formulation: corners drift at most ``half_win + 1`` px from their
+    seed (the cv2 bail-out), so one axis-aligned slab per point is extracted
+    up front and every iteration resamples it with the separable-matmul
+    sampler — no per-iteration image gathers (XLA lowers those abysmally).
     """
     dtype = points.dtype if jnp.issubdtype(points.dtype, jnp.floating) else jnp.float32
     pts = points.astype(dtype)
     x = img.astype(dtype)
     wsize = 2 * half_win + 1
     gsize = wsize + 2  # +1 ring for central differences
+    drift_max = half_win + 1
+    # slab: gsize window + drift reach each way + 1 for the bilinear tap
+    Q = gsize + 2 * (drift_max + 1)
+
+    corner = jnp.floor(pts).astype(jnp.int32) - gsize // 2 - drift_max - 1
+    slabs, cl = extract_patches(x, corner, Q)
+    cl = cl.astype(dtype)
 
     off = jnp.arange(wsize, dtype=dtype) - half_win
     coef = 1.0 / (half_win * half_win)
     m1d = jnp.exp(-(off * off) * coef)
     mask2d = m1d[:, None] * m1d[None, :]
+    gh = (gsize - 1) * 0.5
 
-    def refine_one(pt):
-        def body(i, carry):
-            q, done = carry
-            patch = gather_patches(x, q[None, :], gsize)[0]  # (gsize, gsize)
-            gx = (patch[1:-1, 2:] - patch[1:-1, :-2]) * 0.5
-            gy = (patch[2:, 1:-1] - patch[:-2, 1:-1]) * 0.5
-            gxx = jnp.sum(gx * gx * mask2d)
-            gxy = jnp.sum(gx * gy * mask2d)
-            gyy = jnp.sum(gy * gy * mask2d)
-            # b = sum w * (g g^T) dot (p - q) over window offsets
-            bx = jnp.sum((gx * gx * off[None, :] + gx * gy * off[:, None]) * mask2d)
-            by = jnp.sum((gx * gy * off[None, :] + gy * gy * off[:, None]) * mask2d)
-            det = gxx * gyy - gxy * gxy
-            safe = jnp.abs(det) > jnp.finfo(dtype).tiny * 16
-            inv = jnp.where(safe, 1.0 / det, 0.0)
-            dx = (gyy * bx - gxy * by) * inv
-            dy = (gxx * by - gxy * bx) * inv
-            step = jnp.stack([dx, dy])
-            q_new = jnp.where(done | ~safe, q, q + step)
-            moved2 = jnp.sum(step * step)
-            done = done | (moved2 < eps * eps) | ~safe
-            # cv2 bails if the point drifts out of the window
-            drift = jnp.abs(q_new - pt)
-            done = done | (drift > half_win + 1).any()
-            return q_new, done
+    def cond(carry):
+        i, q, done = carry
+        return (i < max_iters) & ~jnp.all(done)
 
-        q, _ = jax.lax.fori_loop(0, max_iters, body, (pt, False))
-        return q
+    def body(carry):
+        i, q, done = carry
+        ox = q[:, 0] - gh - cl[:, 0]
+        oy = q[:, 1] - gh - cl[:, 1]
+        patch = sample_patches(slabs, oy, ox, gsize)  # (N, gsize, gsize)
+        gx = (patch[:, 1:-1, 2:] - patch[:, 1:-1, :-2]) * 0.5
+        gy = (patch[:, 2:, 1:-1] - patch[:, :-2, 1:-1]) * 0.5
+        gxx = jnp.sum(gx * gx * mask2d, axis=(1, 2))
+        gxy = jnp.sum(gx * gy * mask2d, axis=(1, 2))
+        gyy = jnp.sum(gy * gy * mask2d, axis=(1, 2))
+        # b = sum w * (g g^T) dot (p - q) over window offsets
+        bx = jnp.sum((gx * gx * off[None, None, :] + gx * gy * off[None, :, None])
+                     * mask2d, axis=(1, 2))
+        by = jnp.sum((gx * gy * off[None, None, :] + gy * gy * off[None, :, None])
+                     * mask2d, axis=(1, 2))
+        det = gxx * gyy - gxy * gxy
+        safe = jnp.abs(det) > jnp.finfo(dtype).tiny * 16
+        inv = jnp.where(safe, 1.0 / det, 0.0)
+        dx = (gyy * bx - gxy * by) * inv
+        dy = (gxx * by - gxy * bx) * inv
+        step = jnp.stack([dx, dy], axis=1)
+        blocked = done | ~safe
+        q_new = jnp.where(blocked[:, None], q, q + step)
+        moved2 = jnp.sum(step * step, axis=1)
+        done = done | (moved2 < eps * eps) | ~safe
+        # cv2 bails if the point drifts out of the window
+        done = done | (jnp.abs(q_new - pts) > drift_max).any(axis=1)
+        return i + 1, q_new, done
 
-    return jax.vmap(refine_one)(pts)
+    _, q, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), pts, jnp.zeros(pts.shape[0], bool))
+    )
+    return q

@@ -217,6 +217,7 @@ def lk_forward_backward(
     *,
     fb_threshold: float | None = None,
     warp_dst=None,
+    guess=None,
     **lk_kwargs,
 ) -> LKResult:
     """Forward LK plus optional backward pass with forward-backward gating.
@@ -224,9 +225,11 @@ def lk_forward_backward(
     Parity: reference ``cv2calcOpticalFlowPyrLK`` (KLT.py:37-51). The backward
     pass tracks the forward results back into the source image (with the warp
     roles swapped when a destination warp is in play) and invalidates points
-    whose round trip misses by more than ``fb_threshold`` pixels.
+    whose round trip misses by more than ``fb_threshold`` pixels. ``guess``
+    seeds only the forward pass; the backward pass starts from its result.
     """
-    fwd = lk_pyramidal(src_img, dst_img, pts_src, warp_dst=warp_dst, **lk_kwargs)
+    fwd = lk_pyramidal(src_img, dst_img, pts_src, guess=guess,
+                       warp_dst=warp_dst, **lk_kwargs)
     if fb_threshold is None:
         return fwd
     bwd = lk_pyramidal(

@@ -29,51 +29,16 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from velocity_tpu.ops.interp import bilinear_sample
+from velocity_tpu.ops.interp import sample_patches
 from velocity_tpu.ops.lk import LKResult, scharr_derivatives, _affine_for_level
 from velocity_tpu.ops.pyramid import build_pyramid
 
 
-def _interp_weights(offset, out_size: int, in_size: int):
-    """(..., out_size, in_size) linear-interp weights for samples at
-    ``j + offset`` (clamped to the patch) along one axis."""
-    j = jnp.arange(out_size, dtype=offset.dtype)
-    k = jnp.arange(in_size, dtype=offset.dtype)
-    pos = jnp.clip(j[..., :, None] + offset[..., None, None], 0.0, in_size - 1.0)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(k[None, :] - pos))
-
-
-def _interp_weights_cubic(offset, out_size: int, in_size: int):
-    """Catmull-Rom (Keys a=-0.5) interpolation weight matrices.
-
-    Used when the patch being sampled is itself a materialized interpolation
-    (warped extraction): a second *linear* pass would compound the smoothing
-    and bias converged LK positions by ~0.2 px — past the 0.3 px fb gate.
-    Cubic reconstruction of the once-interpolated samples removes nearly all
-    of the second-stage error while staying a dense matmul of the same shape.
-    """
-    j = jnp.arange(out_size, dtype=offset.dtype)
-    k = jnp.arange(in_size, dtype=offset.dtype)
-    pos = jnp.clip(j[..., :, None] + offset[..., None, None], 0.0, in_size - 1.0)
-    d = jnp.abs(k[None, :] - pos)
-    w1 = (1.5 * d - 2.5) * d * d + 1.0  # |d| < 1
-    w2 = ((-0.5 * d + 2.5) * d - 4.0) * d + 2.0  # 1 <= |d| < 2
-    w = jnp.where(d < 1.0, w1, jnp.where(d < 2.0, w2, 0.0))
-    # edge renormalization (clipped support near patch borders)
-    return w / jnp.sum(w, axis=-1, keepdims=True)
-
-
-def _sample(patches, dy, dx, win: int, cubic: bool = False):
-    """Batched separable patch sampling: (N,P,P) -> (N,win,win).
-
-    ``cubic=True`` selects Catmull-Rom weights — use it whenever ``patches``
-    was materialized through a warp (see _interp_weights_cubic).
-    """
-    weights = _interp_weights_cubic if cubic else _interp_weights
-    Sy = weights(dy, win, patches.shape[-2])  # (N, win, P)
-    Sx = weights(dx, win, patches.shape[-1])  # (N, win, P)
-    tmp = jnp.einsum("nwp,npq->nwq", Sy, patches)
-    return jnp.einsum("nwq,nvq->nwv", tmp, Sx)
+# Batched separable patch sampling (S_y @ patch @ S_x^T) — shared with
+# subpixel refinement; cubic=True for once-interpolated (warped) patches,
+# where a second linear pass would compound the smoothing and bias converged
+# LK positions by ~0.2 px — past the 0.3 px fb gate.
+_sample = sample_patches
 
 
 # extraction backend: None = auto (Pallas DMA kernel on TPU, XLA elsewhere)
@@ -353,12 +318,14 @@ def lk_pyramidal_fast(
 
 
 def lk_forward_backward_fast(
-    src_img, dst_img, pts_src, *, fb_threshold=None, warp_dst=None, **kw
+    src_img, dst_img, pts_src, *, fb_threshold=None, warp_dst=None, guess=None, **kw
 ) -> LKResult:
     """Fast forward + backward LK with fb gating (ops.lk.lk_forward_backward
     semantics). The backward pass swaps images (and applies the warp on the
-    source side by sampling the destination through it)."""
-    fwd = lk_pyramidal_fast(src_img, dst_img, pts_src, warp_dst=warp_dst, **kw)
+    source side by sampling the destination through it). ``guess`` seeds only
+    the forward pass; the backward pass always starts from the forward result."""
+    fwd = lk_pyramidal_fast(src_img, dst_img, pts_src, guess=guess,
+                            warp_dst=warp_dst, **kw)
     if fb_threshold is None:
         return fwd
     if warp_dst is None:

@@ -68,6 +68,21 @@ class RunResult:
         return float(self.S[1:, 3].mean())
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("solver_cfg",))
+def _init_geometry_jit(intr, q, plate, p, solver_cfg):
+    """Frame-0 plate solve + plane backprojection as one compiled graph
+    (op-by-op execution of the LM solver costs ~0.4 s/run on host)."""
+    pose0 = estimate_world_camera_pose(intr, q, plate, find_R=True,
+                                       config=solver_cfg)
+    pw2 = image_to_world_plane(intr, pose0.R, pose0.t, p)
+    pw3 = jnp.concatenate([pw2, jnp.zeros((p.shape[0], 1), pw2.dtype)], axis=1)
+    p3 = pw3 @ pose0.R + pose0.t
+    return pose0.t, p3, pose0.residual_rms
+
+
 class SpeedEstimator:
     def __init__(self, config: PipelineConfig = PipelineConfig()):
         self.config = config
@@ -92,7 +107,7 @@ class SpeedEstimator:
         cvalid = np.asarray(corners.valid)
         refined = np.asarray(
             corner_subpix(
-                jnp.asarray(gray.astype(np.float32)),
+                jnp.asarray(gray),  # uint8 upload; the op casts on device
                 jnp.asarray(pts.astype(np.float32)),
                 half_win=cfg.subpix_window,
                 max_iters=cfg.subpix_iters,
@@ -128,20 +143,14 @@ class SpeedEstimator:
                 plate = jnp.asarray(
                     license_plate_points(cfg.plate_country), jnp.float64
                 )
-                pose0 = estimate_world_camera_pose(
-                    intr64, jnp.asarray(q, jnp.float64), plate, find_R=True,
-                    config=cfg.solver,
+                t0_d, p3_d, res0_d = _init_geometry_jit(
+                    intr64, jnp.asarray(q, jnp.float64), plate,
+                    jnp.asarray(p, jnp.float64), cfg.solver,
                 )
-                pw2 = image_to_world_plane(
-                    intr64, pose0.R, pose0.t, jnp.asarray(p, jnp.float64)
-                )
-                pw3 = jnp.concatenate(
-                    [pw2, jnp.zeros((p.shape[0], 1), jnp.float64)], axis=1
-                )
-                p3 = np.array(pw3 @ pose0.R + pose0.t)
+                p3 = np.array(p3_d)
                 p3[~valid] = 0.0
-                t0 = np.asarray(pose0.t, np.float64)
-                res0 = float(pose0.residual_rms)
+                t0 = np.asarray(t0_d, np.float64)
+                res0 = float(res0_d)
         finally:
             jax.config.update("jax_enable_x64", prev_x64)
         return t0, p3, res0

@@ -78,23 +78,26 @@ def _track_stages(
     v1 = v1 & ransac1.inliers
 
     # ---- stage 2: translation-prior coarse LK at full resolution ----
+    # The reference integer-shifts a crop of the current frame and re-tracks
+    # (KLT.py:66-68); an integer-translation destination warp is exactly plain
+    # LK seeded at ``pts + shift`` (solved in current-frame coordinates), which
+    # skips the warped-path machinery entirely.
     m1 = v1.astype(dtype)[:, None]
     n1 = jnp.maximum(jnp.sum(v1), 1)
     mean_shift = jnp.sum((p1 - pts) * m1, axis=0) / n1
     shift_int = jnp.trunc(mean_shift)  # reference: int() truncation (KLT.py:66-67)
-    T_trans = jnp.concatenate([jnp.eye(2, dtype=dtype), shift_int[:, None]], axis=1)
     r2 = lk_fb(
         im_prev.astype(dtype),
         im_cur.astype(dtype),
         pts,
+        guess=pts + shift_int,
         fb_threshold=cfg.fb_threshold_coarse,
-        warp_dst=T_trans,
         win=lk1.window,
         max_level=lk1.max_level,
         iters=lk1.max_iters,
         eps=lk1.eps,
     )
-    p2 = r2.points + shift_int  # back to current-frame coordinates
+    p2 = r2.points  # already current-frame coordinates
     v2 = valid & r2.status
     n2 = jnp.sum(v2)
 
