@@ -72,7 +72,7 @@ def run_batch(
                 ann = load_annotation(find_annotation(
                     video, [Path(video).parent.parent / "matlab", Path(video).parent]))
             start = (start_frames[vi] if start_frames else ann.start_frame)
-            grays, times, indices = _decode_stack(video, vr, start, n, cfg.read_speed)
+            grays, times, indices, _ = _decode_stack(video, vr, start, n, cfg.read_speed)
         q = ann.q * cfg.native_scale
         p, valid, boxa, boxb = est._init_features(grays[0], q)
         t0, p3, res0 = est._init_geometry(cam, q, p, valid, cfg.native_scale)

@@ -55,27 +55,32 @@ def scan_segment(
     return carry, outs
 
 
-def _decode_stack(video, vr, start, n, step):
-    """Decode n frames as stacked arrays via the native C++ loader when
-    available (threaded decode+gray off the Python thread), else the Python
-    reader."""
+def _decode_stack(video, vr, start, n, step, to_device: bool = False):
+    """Decode n frames via the native C++ loader when available (threaded
+    decode+gray off the Python thread), else the Python reader.
+
+    ``to_device=True`` additionally enqueues one async ``device_put`` per
+    frame as it comes off the decoder, overlapping host->HBM transfer with
+    decode, and returns the stacked device array as a 4th element (else None).
+    """
+    frames = None
     try:
         from velocity_tpu.ingest.native_loader import NativeVideoStream
 
         with NativeVideoStream(video, start=start, count=n, step=step) as s:
-            frames = [(g, t, i) for g, _small, t, i in s]
-        if frames:
-            grays = np.stack([f[0] for f in frames])
-            times = np.array([f[1] for f in frames])
-            indices = np.array([f[2] for f in frames])
-            return grays, times, indices
+            frames = [(g, jax.device_put(g) if to_device else None, t, i)
+                      for g, _small, t, i in s]
     except Exception:
-        pass
-    frames = list(vr.prefetch(start=start, count=n, step=step))
-    grays = np.stack([f.gray for f in frames])
-    times = np.array([f.time_s for f in frames])
-    indices = np.array([f.index for f in frames])
-    return grays, times, indices
+        frames = None
+    if frames is None:
+        frames = [(f.gray, jax.device_put(f.gray) if to_device else None,
+                   f.time_s, f.index)
+                  for f in vr.prefetch(start=start, count=n, step=step)]
+    grays = np.stack([f[0] for f in frames])
+    times = np.array([f[2] for f in frames])
+    indices = np.array([f[3] for f in frames])
+    dev = jnp.stack([f[1] for f in frames]) if to_device else None
+    return grays, times, indices, dev
 
 
 class ScanSpeedRunner:
@@ -120,9 +125,10 @@ class ScanSpeedRunner:
             start = (start_frame if start_frame is not None else
                      (cfg.start_frame if cfg.start_frame is not None else ann.start_frame))
 
-            # ---- decode all frames (native C++ stager preferred) ----
-            grays, times, indices = _decode_stack(
-                video, vr, start, n, cfg.read_speed
+            # ---- decode all frames (native C++ stager preferred), with
+            # per-frame async device_put overlapping upload with decode ----
+            grays, times, indices, frames_dev = _decode_stack(
+                video, vr, start, n, cfg.read_speed, to_device=True
             )
         n = grays.shape[0]
 
@@ -133,7 +139,7 @@ class ScanSpeedRunner:
         vg0 = valid.copy()
         vp0 = valid & inside_bbox(p, boxa)
 
-        im0 = jnp.asarray(grays[0])
+        im0 = frames_dev[0]
         small0 = self._est.tracker.initial_small(im0)
         pts0 = jnp.asarray(p, jnp.float32)
         p3 = jnp.asarray(p3_np, sdt)
@@ -146,7 +152,7 @@ class ScanSpeedRunner:
 
         # ---- segment A: frames 1..msv ----
         carryA, outA = scan_segment(
-            jnp.asarray(grays[1 : seg_a + 1]), im0, small0, pts0,
+            frames_dev[1 : seg_a + 1], im0, small0, pts0,
             jnp.asarray(vg0), jnp.asarray(vp0), p3, intr,
             all_keys[1 : seg_a + 1], cfg.tracker, cfg.solver, sdt,
         )
@@ -186,7 +192,7 @@ class ScanSpeedRunner:
 
             im_msv, small_msv, pts_msv, vg_msv_dev, _ = carryA
             carryB, outB = scan_segment(
-                jnp.asarray(grays[msv_i + 1 :]), im_msv, small_msv, pts_msv,
+                frames_dev[msv_i + 1 :], im_msv, small_msv, pts_msv,
                 vg_msv_dev, vpB, p3B, intr,
                 all_keys[msv_i + 1 :], cfg.tracker, cfg.solver, sdt,
             )

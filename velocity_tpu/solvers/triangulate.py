@@ -18,6 +18,7 @@ than the reference's (3, nf, N).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -95,6 +96,7 @@ class MSVResult(NamedTuple):
     residual_rms: jnp.ndarray
 
 
+@partial(jax.jit, static_argnames=("config", "use_nray"))
 def msv_refine_translation(
     intr: Intrinsics,
     pixels: jnp.ndarray,  # (nf, N, 2) tracked pixels for frames 0..nf-1
