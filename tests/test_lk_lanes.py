@@ -79,6 +79,24 @@ class TestLanesMatchesReference:
         err = np.linalg.norm(np.asarray(fast.points)[both] - pts[both], axis=1)
         assert np.median(err) < 0.1
 
+    def test_identity_self_tracking_deep_pyramid(self):
+        """Regression: slab-corner clamping at small pyramid levels used to
+        shift content off the stencil anchor and walk points away (up to
+        ~80 px at max_level=3 on a 240x320 image with zero motion)."""
+        img = _smooth_image()
+        pts = np.stack(
+            [RNG.uniform(10, 310, 200), RNG.uniform(10, 230, 200)], axis=1
+        ).astype(np.float32)
+        for ml in (2, 3, 4):
+            r = lk_pyramidal_lanes(
+                jnp.asarray(img), jnp.asarray(img), jnp.asarray(pts),
+                win=15, max_level=ml, iters=10, eps=0.1,
+            )
+            st = np.asarray(r.status)
+            assert st.mean() > 0.95
+            err = np.linalg.norm(np.asarray(r.points) - pts, axis=1)
+            assert err[st].max() < 0.01, (ml, err[st].max())
+
     def test_forward_backward_gating(self):
         img = _smooth_image()
         img2 = img.copy()

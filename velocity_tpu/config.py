@@ -31,7 +31,9 @@ class TrackerConfig:
     """Three-stage KLT tracker configuration (reference KLTmain, KLT.py:99-134)."""
 
     coarse_scale: float = 0.25  # stage-1 image downscale
-    lk_backend: str = "fast"  # "fast" (matmul-formulated) | "reference" (gather)
+    # "lanes" (lanes-last stencil, fastest on TPU) | "fast" (matmul-formulated)
+    # | "reference" (gather)
+    lk_backend: str = "lanes"
     lk_coarse: LKConfig = field(default_factory=lambda: LKConfig(15, 4, 10, 0.1))
     lk_fine: LKConfig = field(default_factory=lambda: LKConfig(51, 0, 30, 0.001))
     fb_threshold_coarse: float = 1.0  # stage-2 forward-backward gate (px)

@@ -65,6 +65,10 @@ def _extract_slabs(img, corners, size: int):
     One ``dynamic_slice`` per point (XLA gather) followed by a single
     transpose into the lanes-last layout. Corners clamp into the image.
     Returns (slabs, clamped corners (N, 2) xy).
+
+    Callers must edge-pad ``img`` (and offset ``corners`` by the pad) so that
+    in-bounds points never actually clamp — a clamped corner shifts the slab
+    content relative to the stencil anchor and corrupts every sample.
     """
     H, W = img.shape
     if H < size or W < size:
@@ -178,7 +182,11 @@ def _extract_warped_lanes(imgp, pad: int, centers, P: int, M, oo: int):
     ioff = (idx - oo)[:, None, None]
     jj = idx[None, :, None]
     ii = idx[:, None, None]
-    inv_m11 = 1.0 / M[1, 1]
+    # Near-identity precondition: the x-pass solves the dest row through
+    # M11, so |M11| must stay well away from 0 (one-frame affine priors have
+    # M ~= I). Guarded reciprocal keeps a degenerate M from emitting NaNs.
+    m11 = M[1, 1]
+    inv_m11 = jnp.where(jnp.abs(m11) > 1e-3, 1.0 / m11, 1.0)
 
     # x-pass positions, relative to the identity slab column j
     yy = jnp.arange(Q, dtype=dtype)[:, None, None]
@@ -247,6 +255,10 @@ def _level_loop(
         margin = REACH  # o0 = REACH + frac, range ~ +-REACH
         P = _round8(win + 2 * REACH + 1)
         n_taps = 2 * REACH + 2
+        # edge-pad once per level so corner clamping inside _extract_slabs can
+        # never shift slab content off the stencil anchor: every point inside
+        # the in_ok bound lands fully inside the padded image
+        dimgp = jnp.pad(dimg, P, mode="edge")
     n_blocks = max(1, -(-iters // BLOCK_ITERS))
 
     def cond(carry):
@@ -258,11 +270,11 @@ def _level_loop(
         anchor = pts
         if warp is None:
             ci = jnp.floor(anchor).astype(jnp.int32)
-            corners = jnp.stack([ci[0] - (win - 1) // 2 - margin,
-                                 ci[1] - (win - 1) // 2 - margin], axis=1)
-            dpatch, dcorner = _extract_slabs(dimg, corners, P)
-            bx = -dcorner[:, 0].astype(dtype)
-            by = -dcorner[:, 1].astype(dtype)
+            corners = jnp.stack([ci[0] - (win - 1) // 2 - margin + P,
+                                 ci[1] - (win - 1) // 2 - margin + P], axis=1)
+            dpatch, dcorner = _extract_slabs(dimgp, corners, P)
+            bx = (P - dcorner[:, 0]).astype(dtype)  # image-coord corner = dcorner - P
+            by = (P - dcorner[:, 1]).astype(dtype)
         else:
             dpatch, corner = _extract_warped_lanes(imgp, Q, anchor, P, warp, oo)
             bx = -corner[0]
@@ -294,8 +306,10 @@ def _level_loop(
             pts = jnp.where(active[None, :], pts + delta, pts)
             small = jnp.sum(delta * delta, axis=0) <= eps2
             osc = (it0 + j > 0) & (jnp.abs(delta + prev_delta) < 0.01).all(axis=0)
-            pts = jnp.where((active & osc)[None, :], pts - delta * 0.5, pts)
-            done = done | small | osc | ~in_ok
+            # clamp-affected deltas are artifacts: never latch done (or apply
+            # the oscillation backoff) on them — the next block re-anchors
+            pts = jnp.where((active & osc & ~clamped)[None, :], pts - delta * 0.5, pts)
+            done = done | ((small | osc) & ~clamped) | ~in_ok
             prev_delta = jnp.where(active[None, :], delta, prev_delta)
         return pts, done, prev_delta, blk + 1
 
@@ -362,12 +376,13 @@ def lk_pyramidal_lanes(
         # ---- source window: one extraction, fixed fractional sample ----
         if Ms is None:
             Ps = _round8(win + 2 * src_margin + 1)
+            simgp = jnp.pad(simg, Ps, mode="edge")  # no-clamp guarantee (see _extract_slabs)
             ci = jnp.floor(p_l).astype(jnp.int32)
-            corners = jnp.stack([ci[0] - (win - 1) // 2 - src_margin,
-                                 ci[1] - (win - 1) // 2 - src_margin], axis=1)
-            spatch, scorner = _extract_slabs(simg, corners, Ps)
-            su = cx - half - scorner[:, 0].astype(dtype)
-            sv = cy - half - scorner[:, 1].astype(dtype)
+            corners = jnp.stack([ci[0] - (win - 1) // 2 - src_margin + Ps,
+                                 ci[1] - (win - 1) // 2 - src_margin + Ps], axis=1)
+            spatch, scorner = _extract_slabs(simgp, corners, Ps)
+            su = cx - half - (scorner[:, 0] - Ps).astype(dtype)
+            sv = cy - half - (scorner[:, 1] - Ps).astype(dtype)
             s_taps, s_cubic = src_margin + 2, False
         else:
             oo_s = (win - 1) // 2 + REACH + 1

@@ -25,11 +25,14 @@ import jax.numpy as jnp
 from velocity_tpu.config import TrackerConfig
 from velocity_tpu.ops.lk import lk_pyramidal, lk_forward_backward
 from velocity_tpu.ops.lk_fast import lk_pyramidal_fast, lk_forward_backward_fast
+from velocity_tpu.ops.lk_lanes import lk_pyramidal_lanes, lk_forward_backward_lanes
 from velocity_tpu.ops.pyramid import resize_nearest
 from velocity_tpu.ops.ransac import estimate_affine_ransac
 
 
 def _lk_impls(cfg: TrackerConfig):
+    if cfg.lk_backend == "lanes":
+        return lk_pyramidal_lanes, lk_forward_backward_lanes
     if cfg.lk_backend == "fast":
         return lk_pyramidal_fast, lk_forward_backward_fast
     return lk_pyramidal, lk_forward_backward
