@@ -22,17 +22,13 @@ def _reflect101_pad(img, pad: int):
 
 
 def pyr_down(img):
-    """One Gaussian pyramid level down (cv2.pyrDown semantics)."""
-    dtype = img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32
-    x = img.astype(dtype)
-    k = jnp.asarray(_G5, dtype)
-    p = _reflect101_pad(x, 2)
-    # separable convolution via stacked shifts (small fixed kernel -> XLA fuses)
-    H, W = x.shape
-    rows = sum(k[i] * p[i : i + H, 2 : 2 + W] for i in range(5))
-    p2 = _reflect101_pad(rows, 2)[2 : 2 + H, :]
-    smoothed = sum(k[j] * p2[:, j : j + W] for j in range(5))
-    return smoothed[::2, ::2]
+    """One Gaussian pyramid level down (cv2.pyrDown semantics).
+
+    Runs as two MXU matmuls (ops/resample.py) — the stencil/stride form costs
+    ~30x more on TPU (lane-axis shifts and stride-2 gathers)."""
+    from velocity_tpu.ops.resample import pyr_down_mat
+
+    return pyr_down_mat(img)
 
 
 def build_pyramid(img, max_level: int):
@@ -45,10 +41,13 @@ def build_pyramid(img, max_level: int):
 
 
 def resize_nearest(img, scale: float):
-    """cv2.resize INTER_NEAREST with fx=fy=scale (scale<=1 decimation)."""
-    H, W = img.shape
-    h = int(round(H * scale))
-    w = int(round(W * scale))
-    ii = jnp.minimum(jnp.floor(jnp.arange(h) / scale).astype(jnp.int32), H - 1)
-    jj = jnp.minimum(jnp.floor(jnp.arange(w) / scale).astype(jnp.int32), W - 1)
-    return img[ii[:, None], jj[None, :]]
+    """cv2.resize INTER_NEAREST with fx=fy=scale (scale<=1 decimation).
+
+    MXU selection-matmul formulation; 0/1 selection of uint8 values is exact
+    in f32, so the result is cast back to the input dtype losslessly."""
+    from velocity_tpu.ops.resample import resize_nearest_mat
+
+    out = resize_nearest_mat(img, scale)
+    if not jnp.issubdtype(img.dtype, jnp.floating):
+        out = out.astype(img.dtype)
+    return out
