@@ -42,6 +42,7 @@ import jax.numpy as jnp
 
 from velocity_tpu.ops.lk import LKResult, _affine_for_level
 from velocity_tpu.ops.pyramid import build_pyramid
+from velocity_tpu.ops.slab_pallas import extract_slabs_dma, pad_aligned, use_pallas
 
 # Iterations per unrolled block, and the maximum travel (px) from the block's
 # extraction anchor before in-block sampling clamps. The next block's
@@ -62,13 +63,16 @@ def _round8(x: int) -> int:
 def _extract_slabs(img, corners, size: int):
     """(size, size, N) integer-corner patches, lanes-last.
 
-    One ``dynamic_slice`` per point (XLA gather) followed by a single
-    transpose into the lanes-last layout. Corners clamp into the image.
-    Returns (slabs, clamped corners (N, 2) xy).
+    On TPU: one aligned HBM->VMEM DMA per point with on-chip sub-tile shift
+    (ops/slab_pallas.py, ~30x the XLA gather). Elsewhere: one
+    ``dynamic_slice`` per point. Either way a single transpose lands the
+    lanes-last layout. Corners clamp into the image. Returns
+    (slabs, clamped corners (N, 2) xy).
 
     Callers must edge-pad ``img`` (and offset ``corners`` by the pad) so that
     in-bounds points never actually clamp — a clamped corner shifts the slab
-    content relative to the stencil anchor and corrupts every sample.
+    content relative to the stencil anchor and corrupts every sample. Use
+    ``pad_aligned`` so the padded dims satisfy the DMA tiling (8, 128).
     """
     H, W = img.shape
     if H < size or W < size:
@@ -77,10 +81,13 @@ def _extract_slabs(img, corners, size: int):
     cy = jnp.clip(corners[:, 1], 0, H - size)
     cx = jnp.clip(corners[:, 0], 0, W - size)
 
-    def one(cyi, cxi):
-        return jax.lax.dynamic_slice(img, (cyi, cxi), (size, size))
+    if use_pallas() and img.dtype == jnp.float32 and H % 8 == 0 and W % 128 == 0:
+        slabs = extract_slabs_dma(img, cx.astype(jnp.int32), cy.astype(jnp.int32), size)
+    else:
+        def one(cyi, cxi):
+            return jax.lax.dynamic_slice(img, (cyi, cxi), (size, size))
 
-    slabs = jax.vmap(one)(cy, cx)
+        slabs = jax.vmap(one)(cy, cx)
     return jnp.transpose(slabs, (1, 2, 0)), jnp.stack([cx, cy], axis=1)
 
 
@@ -250,7 +257,7 @@ def _level_loop(
         P = _round8(win + 2 * REACH + 3)
         n_taps = 2 * REACH + 4
         Q = _round8(P + WARP_TAPS)
-        imgp = jnp.pad(dimg, Q, mode="edge")
+        imgp = pad_aligned(dimg, Q)
     else:
         margin = REACH  # o0 = REACH + frac, range ~ +-REACH
         P = _round8(win + 2 * REACH + 1)
@@ -258,7 +265,7 @@ def _level_loop(
         # edge-pad once per level so corner clamping inside _extract_slabs can
         # never shift slab content off the stencil anchor: every point inside
         # the in_ok bound lands fully inside the padded image
-        dimgp = jnp.pad(dimg, P, mode="edge")
+        dimgp = pad_aligned(dimg, P)
     n_blocks = max(1, -(-iters // BLOCK_ITERS))
 
     def cond(carry):
@@ -376,7 +383,7 @@ def lk_pyramidal_lanes(
         # ---- source window: one extraction, fixed fractional sample ----
         if Ms is None:
             Ps = _round8(win + 2 * src_margin + 1)
-            simgp = jnp.pad(simg, Ps, mode="edge")  # no-clamp guarantee (see _extract_slabs)
+            simgp = pad_aligned(simg, Ps)  # no-clamp guarantee (see _extract_slabs)
             ci = jnp.floor(p_l).astype(jnp.int32)
             corners = jnp.stack([ci[0] - (win - 1) // 2 - src_margin + Ps,
                                  ci[1] - (win - 1) // 2 - src_margin + Ps], axis=1)
@@ -388,7 +395,7 @@ def lk_pyramidal_lanes(
             oo_s = (win - 1) // 2 + REACH + 1
             Psw = _round8(win + 2 * REACH + 3)
             Qs = _round8(Psw + WARP_TAPS)
-            simgp = jnp.pad(simg, Qs, mode="edge")
+            simgp = pad_aligned(simg, Qs)
             spatch, scorner2 = _extract_warped_lanes(simgp, Qs, p_l, Psw, Ms, oo_s)
             su = cx - half - scorner2[0]
             sv = cy - half - scorner2[1]
