@@ -343,17 +343,26 @@ def lk_pyramidal_lanes(
     min_eig_threshold: float = 1e-4,
     warp_dst=None,
     warp_src=None,
+    src_pyr=None,
+    dst_pyr=None,
 ) -> LKResult:
     """Drop-in equivalent of ops.lk.lk_pyramidal in the lanes-last engine.
 
     ``warp_dst`` materializes destination patches through the affine per
     block anchor (stage-3 fine tracking); ``warp_src`` warps the *source*
     side instead — the backward leg of forward-backward gating with a warp.
+
+    ``src_pyr``/``dst_pyr``: prebuilt float pyramids (tuples of >= max_level+1
+    levels, level 0 = full image). The frame pipeline builds each frame's
+    pyramid ONCE and threads it through the scan carry — without this, a
+    forward-backward 3-stage step rebuilds the same full-res pyramid ~8x.
     """
     dtype = pts_src.dtype if jnp.issubdtype(pts_src.dtype, jnp.floating) else jnp.float32
     pts_src = pts_src.astype(dtype)
-    src_pyr = build_pyramid(src_img.astype(dtype), max_level)
-    dst_pyr = build_pyramid(dst_img.astype(dtype), max_level)
+    if src_pyr is None:
+        src_pyr = build_pyramid(src_img.astype(dtype), max_level)
+    if dst_pyr is None:
+        dst_pyr = build_pyramid(dst_img.astype(dtype), max_level)
 
     N = pts_src.shape[0]
     half = (win - 1) * 0.5
@@ -434,7 +443,8 @@ def lk_pyramidal_lanes(
 
 
 def lk_forward_backward_lanes(
-    src_img, dst_img, pts_src, *, fb_threshold=None, warp_dst=None, guess=None, **kw
+    src_img, dst_img, pts_src, *, fb_threshold=None, warp_dst=None, guess=None,
+    src_pyr=None, dst_pyr=None, **kw
 ) -> LKResult:
     """Forward + backward LK with forward-backward gating (reference fb gate,
     /root/reference/utils/KLT.py:45-50). With a destination warp, the
@@ -442,14 +452,17 @@ def lk_forward_backward_lanes(
     warping its *source* side — both legs live in source-frame coordinates,
     exactly like ops/lk_fast.py's _lk_backward_warped."""
     fwd = lk_pyramidal_lanes(src_img, dst_img, pts_src, guess=guess,
-                             warp_dst=warp_dst, **kw)
+                             warp_dst=warp_dst, src_pyr=src_pyr,
+                             dst_pyr=dst_pyr, **kw)
     if fb_threshold is None:
         return fwd
     if warp_dst is None:
-        bwd = lk_pyramidal_lanes(dst_img, src_img, fwd.points, guess=fwd.points, **kw)
+        bwd = lk_pyramidal_lanes(dst_img, src_img, fwd.points, guess=fwd.points,
+                                 src_pyr=dst_pyr, dst_pyr=src_pyr, **kw)
     else:
         bwd = lk_pyramidal_lanes(dst_img, src_img, fwd.points, guess=fwd.points,
-                                 warp_src=warp_dst, **kw)
+                                 warp_src=warp_dst, src_pyr=dst_pyr,
+                                 dst_pyr=src_pyr, **kw)
     fbe = jnp.sqrt(jnp.sum((pts_src - bwd.points) ** 2, axis=1))
     ok = fwd.status & bwd.status & (fbe < fb_threshold)
     return LKResult(points=fwd.points, status=ok)

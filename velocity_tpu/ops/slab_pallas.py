@@ -79,8 +79,11 @@ def extract_slabs_dma(img, cx, cy, size: int):
     ``cx, cy`` must be pre-clamped int32 in [0, W-size] / [0, H-size].
     """
     H, W = img.shape
-    SH = _round_up(size, 8) + 8
-    SW = _round_up(size + 128, 128)
+    # pltpu.roll with a *dynamic* shift only rotates correctly on
+    # power-of-two dims (observed on v5e: SH=32 exact, SH=40/48/80 garbage),
+    # so round the scratch slab up to powers of two on both axes
+    SH = 1 << (_round_up(size, 8) + 8 - 1).bit_length()
+    SW = 1 << (_round_up(size + 128, 128) - 1).bit_length()
     if H < SH or W < SW:  # tiny image (top pyramid levels): XLA path is fine
         def one(cyi, cxi):
             return jax.lax.dynamic_slice(img, (cyi, cxi), (size, size))

@@ -31,9 +31,9 @@ from velocity_tpu.pipeline import report
 def _batched_segment(cfg, sdt):
     """vmap of scan_segment over the video lane axis (p3/intr per lane)."""
 
-    def seg(frames, im0, small0, pts0, vg0, vp0, p3, intr, keys):
+    def seg(frames, pyr0, spyr0, pts0, vg0, vp0, t0, p3, intr, keys):
         return scan_segment(
-            frames, im0, small0, pts0, vg0, vp0, p3, intr, keys,
+            frames, pyr0, spyr0, pts0, vg0, vp0, t0, p3, intr, keys,
             cfg.tracker, cfg.solver, sdt,
         )
 
@@ -53,6 +53,9 @@ def run_batch(
 
     ``mesh``: optional 1-axis mesh ('video'); lanes are laid out over it.
     """
+    import time as _time
+
+    t_wall0 = _time.time()
     cfg = config
     est = SpeedEstimator(cfg)
     want64 = cfg.solver.dtype == "float64" and jax.config.jax_enable_x64
@@ -97,7 +100,10 @@ def run_batch(
         *[c.intrinsics(scale=cfg.native_scale).astype(sdt) for c in cams],
     )
     im0 = jnp.asarray(grays[:, 0])
-    small0 = jax.vmap(est.tracker.initial_small)(im0)
+    from velocity_tpu.pipeline.tracker import frame_pyramids
+
+    pyr0, spyr0 = jax.vmap(lambda im: frame_pyramids(im, cfg.tracker))(im0)
+    t0_stack = jnp.asarray(np.stack([i["t0"] for i in inits]), sdt)
     keys = jax.vmap(lambda s: jax.random.split(jax.random.PRNGKey(s), n))(
         jnp.arange(V)
     )
@@ -115,8 +121,8 @@ def run_batch(
     seg_a = min(msv_i, n - 1)
 
     carryA, outA = seg(
-        grays_dev[:, 1 : seg_a + 1], im0, small0, pts0, vg0, vp0, p3_0,
-        intr_stack, keys[:, 1 : seg_a + 1],
+        grays_dev[:, 1 : seg_a + 1], pyr0, spyr0, pts0, vg0, vp0, t0_stack,
+        p3_0, intr_stack, keys[:, 1 : seg_a + 1],
     )
     ptsA, vgA, vpA, tA, resA, pprojA, n2A = jax.tree.map(np.asarray, outA)
 
@@ -160,10 +166,10 @@ def run_batch(
         finally:
             jax.config.update("jax_enable_x64", prev_x64)
 
-        im_msv, small_msv, pts_msv, vg_msv_dev, _ = carryA
+        pyrM, spyrM, pts_msv, vg_msv_dev, _vp, t_msv = carryA
         carryB, outB = seg(
-            grays_dev[:, msv_i + 1 :], im_msv, small_msv, pts_msv, vg_msv_dev,
-            jnp.asarray(vg_msv), jnp.asarray(p3_B, sdt), intr_stack,
+            grays_dev[:, msv_i + 1 :], pyrM, spyrM, pts_msv, vg_msv_dev,
+            jnp.asarray(vg_msv), t_msv, jnp.asarray(p3_B, sdt), intr_stack,
             keys[:, msv_i + 1 :],
         )
         ptsB, vgB, vpB, tB, resB, _pprojB, _n2B = jax.tree.map(np.asarray, outB)
@@ -179,6 +185,9 @@ def run_batch(
         resB = np.zeros((V, 0))
 
     # ---- per-video tables ----
+    # batched scan = one dispatch for all lanes; attribute wall time uniformly
+    # (reference procTime contract: vidExample.py:162-165)
+    proc = (_time.time() - t_wall0) / max(n * V, 1)
     for v in range(V):
         S = np.zeros((n, 9))
         res_all = np.concatenate([[inits[v]["res0"]], resA[v], resB[v]])
@@ -188,7 +197,7 @@ def run_batch(
             dr = (float(np.linalg.norm(B_all[v, i, 0:3] - B_all[v, i - 1, 0:3]))
                   if i > 0 else 0.0)
             dist += dr
-            S[i] = (i, 0.0, valid_all[v, i].sum(), res_all[i], dt,
+            S[i] = (i, proc, valid_all[v, i].sum(), res_all[i], dt,
                     B_all[v, i, 12] - B_all[v, 0, 12], dr, dist,
                     dr / dt * 3.6 if i > 0 and dt > 0 else np.nan)
         if verbose:

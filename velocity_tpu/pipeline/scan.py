@@ -20,37 +20,50 @@ import jax
 import jax.numpy as jnp
 
 from velocity_tpu.config import PipelineConfig
-from velocity_tpu.pipeline.tracker import fused_frame_step
+from velocity_tpu.pipeline.tracker import frame_pyramids, fused_frame_step_pyr
 
 
-@partial(jax.jit, static_argnames=("cfg", "solver_cfg", "solver_dtype"))
+@partial(jax.jit, static_argnames=("cfg", "solver_cfg", "solver_dtype", "lean"))
 def scan_segment(
     frames,  # (k, H, W) uint8 — frames to track INTO (successors of im0)
-    im0,  # (H, W) starting frame
-    small0,  # 1/4-scale of im0
+    pyr0,  # starting frame's full-res pyramid (tuple)
+    spyr0,  # starting frame's 1/4-scale pyramid (tuple)
     pts0,
     vg0,
     vp0,
+    t0,  # (3,) warm-start translation (reference vidExample.py:139)
     p3,
     intr,
     keys,  # (k, 2) uint32 PRNG keys
     cfg,
     solver_cfg,
     solver_dtype,
+    lean: bool = False,
 ):
-    """Track + solve through ``frames`` sequentially; returns stacked outputs."""
+    """Track + solve through ``frames`` sequentially; returns stacked outputs.
+
+    The carry threads each frame's pyramids (built once per frame) and the
+    running translation. ``lean=True`` returns only the (k, 8) packed
+    per-frame summary — the D2H link of a tunneled TPU runs at ~3 MB/s, so
+    the bench path must not fetch per-point history it does not need.
+    """
 
     def body(carry, xs):
-        im_prev, small_prev, pts, vg, vp = carry
+        pyr_prev, spyr_prev, pts, vg, vp, t_prev = carry
         im_cur, key = xs
-        (pts2, vg2, vp2, small2, t, res, pproj, n2, _T, _packed) = fused_frame_step(
-            im_prev, im_cur, small_prev, pts, vg, vp, p3, intr, key,
-            cfg, solver_cfg, solver_dtype,
+        (pyr_cur, spyr_cur, pts2, vg2, vp2, t, res, pproj, n2, _T, packed) = (
+            fused_frame_step_pyr(
+                pyr_prev, spyr_prev, im_cur, pts, vg, vp, p3, intr, key,
+                cfg, solver_cfg, solver_dtype, t_prev,
+            )
         )
-        out = (pts2, vg2, vp2, t, res, pproj, n2)
-        return (im_cur, small2, pts2, vg2, vp2), out
+        if lean:
+            out = packed
+        else:
+            out = (pts2, vg2, vp2, t, res, pproj, n2)
+        return (pyr_cur, spyr_cur, pts2, vg2, vp2, t.astype(t_prev.dtype)), out
 
-    init = (im0, small0, pts0, vg0, vp0)
+    init = (pyr0, spyr0, pts0, vg0, vp0, t0)
     carry, outs = jax.lax.scan(body, init, (frames, keys))
     return carry, outs
 
@@ -83,6 +96,85 @@ def _decode_stack(video, vr, start, n, step, to_device: bool = False):
     return grays, times, indices, dev
 
 
+class _PipelinedIngest:
+    """Decode + upload pipeline: a decoder thread feeds an uploader thread
+    that enqueues one async ``device_put`` per frame, so H2D transfer (the
+    tunnel runs ~17 ms per 1080p frame) overlaps both decode and device
+    compute. ``wait(i)`` blocks until frame i is on device."""
+
+    def __init__(self, video, vr, start: int, n: int, step: int):
+        import threading
+
+        self.n = n
+        self.grays = [None] * n
+        self.dev = [None] * n
+        self.times = np.zeros(n)
+        self.indices = np.zeros(n, np.int64)
+        self._ready = [threading.Event() for _ in range(n)]
+        self._err = None
+        q: "list" = []
+        q_lock = threading.Condition()
+
+        def decoder():
+            try:
+                it = None
+                try:
+                    from velocity_tpu.ingest.native_loader import NativeVideoStream
+
+                    stream = NativeVideoStream(video, start=start, count=n, step=step)
+                    it = ((g, t, i) for g, _s, t, i in stream)
+                except Exception:
+                    it = ((f.gray, f.time_s, f.index)
+                          for f in vr.frames(start=start, count=n, step=step))
+                for j, (g, t, idx) in enumerate(it):
+                    if j >= n:
+                        break
+                    self.grays[j] = g
+                    self.times[j] = t
+                    self.indices[j] = idx
+                    with q_lock:
+                        q.append(j)
+                        q_lock.notify()
+            except Exception as e:  # pragma: no cover - propagated via wait()
+                self._err = e
+            finally:
+                with q_lock:
+                    q.append(-1)
+                    q_lock.notify()
+
+        def uploader():
+            while True:
+                with q_lock:
+                    while not q:
+                        q_lock.wait()
+                    j = q.pop(0)
+                if j < 0:
+                    for ev in self._ready:
+                        ev.set()  # unblock waiters (missing frames -> None)
+                    return
+                self.dev[j] = jax.device_put(self.grays[j])
+                self._ready[j].set()
+
+        self._threads = [
+            threading.Thread(target=decoder, daemon=True),
+            threading.Thread(target=uploader, daemon=True),
+        ]
+        for t in self._threads:
+            t.start()
+
+    def wait(self, i: int):
+        self._ready[i].wait()
+        if self._err is not None:
+            raise self._err
+        if self.dev[i] is None:
+            raise RuntimeError(f"decode ended before frame {i}")
+        return self.dev[i]
+
+    def join(self):
+        for t in self._threads:
+            t.join()
+
+
 class ScanSpeedRunner:
     """Two-dispatch-per-video variant of SpeedEstimator.run (same outputs)."""
 
@@ -93,7 +185,11 @@ class ScanSpeedRunner:
         self._est = SpeedEstimator(config)
 
     def run(self, video, annotation=None, n_frames=None, start_frame=None,
-            verbose=True):
+            verbose=True, lean: bool = False):
+        """Run the scan pipeline. ``lean=True`` fetches only the per-frame
+        packed summary for the post-MSV segment (track/reprojection history
+        comes back NaN there) — the bench configuration for tunneled TPUs
+        whose D2H link is latency/bandwidth bound."""
         import time as _time
 
         from velocity_tpu.camera.annotations import Annotation, load_annotation, find_annotation
@@ -101,7 +197,6 @@ class ScanSpeedRunner:
         from velocity_tpu.pipeline import report
         from velocity_tpu.pipeline.roi import inside_bbox
         from velocity_tpu.pipeline.speedest import RunResult
-        from velocity_tpu.solvers.triangulate import msv_refine_translation
         from pathlib import Path
 
         cfg = self.config
@@ -125,108 +220,137 @@ class ScanSpeedRunner:
             start = (start_frame if start_frame is not None else
                      (cfg.start_frame if cfg.start_frame is not None else ann.start_frame))
 
-            # ---- decode all frames (native C++ stager preferred), with
-            # per-frame async device_put overlapping upload with decode ----
-            grays, times, indices, frames_dev = _decode_stack(
-                video, vr, start, n, cfg.read_speed, to_device=True
+            # ---- pipelined decode -> upload (overlaps device compute) ----
+            ingest = _PipelinedIngest(video, vr, start, n, cfg.read_speed)
+
+            msv_i = cfg.msv_frame
+            seg_a = min(msv_i, n - 1)
+
+            # ---- frame-0 init (host f64) while later frames stream in ----
+            ingest.wait(0)
+            p, valid, boxa, boxb = self._est._init_features(ingest.grays[0], q)
+            t0_np, p3_np, res0 = self._est._init_geometry(cam, q, p, valid, scale)
+            N = cfg.tracker.max_features
+            vg0 = valid.copy()
+            vp0 = valid & inside_bbox(p, boxa)
+
+            pyr0, spyr0 = frame_pyramids(ingest.wait(0), cfg.tracker)
+            pts0 = jnp.asarray(p, jnp.float32)
+            p3 = jnp.asarray(p3_np, sdt)
+
+            key = jax.random.PRNGKey(0)
+            all_keys = jax.random.split(key, n)
+
+            # ---- segment A: frames 1..msv ----
+            framesA = jnp.stack([ingest.wait(j) for j in range(1, seg_a + 1)])
+            carryA, outA = scan_segment(
+                framesA, pyr0, spyr0, pts0,
+                jnp.asarray(vg0), jnp.asarray(vp0),
+                jnp.asarray(t0_np, sdt), p3, intr,
+                all_keys[1 : seg_a + 1], cfg.tracker, cfg.solver, sdt,
             )
-        n = grays.shape[0]
+            # fetch A while the ingest threads stream frames msv+1..n-1
+            ptsA, vgA, vpA, tA, resA, pprojA, n2A = jax.tree.map(np.asarray, outA)
+            t_init_done = _time.time()
 
-        # ---- frame-0 init (host f64) ----
-        p, valid, boxa, boxb = self._est._init_features(grays[0], q)
-        t0_np, p3_np, res0 = self._est._init_geometry(cam, q, p, valid, scale)
-        N = cfg.tracker.max_features
-        vg0 = valid.copy()
-        vp0 = valid & inside_bbox(p, boxa)
+            # ---- host MSV re-anchor (f64), then segment B ----
+            track_px = np.full((n, N, 2), np.nan, np.float32)
+            valid_hist = np.zeros((n, N), bool)
+            track_px[0, vg0] = p[vg0]
+            valid_hist[0] = vg0
+            for j in range(seg_a):
+                vgj = vgA[j]
+                track_px[j + 1, vgj] = ptsA[j][vgj]
+                valid_hist[j + 1] = vgj
 
-        im0 = frames_dev[0]
-        small0 = self._est.tracker.initial_small(im0)
-        pts0 = jnp.asarray(p, jnp.float32)
-        p3 = jnp.asarray(p3_np, sdt)
+            B = np.zeros((n, 14), np.float64)
+            B[0, 0:3] = t0_np
+            for j in range(seg_a):
+                B[j + 1, 3:6] = tA[j]
+                B[j + 1, 0:3] = B[0, 0:3] + tA[j]
 
-        key = jax.random.PRNGKey(0)
-        all_keys = jax.random.split(key, n)
+            vg_msv = vgA[seg_a - 1] if seg_a >= 1 else vg0
+            n2B = np.zeros(0)
+            if n > msv_i:
+                from velocity_tpu.pipeline.anchor import reanchor
 
-        msv_i = cfg.msv_frame
-        seg_a = min(msv_i, n - 1)
+                # timestamps for frames <= msv are decoded by now
+                for j in range(msv_i + 1):
+                    ingest.wait(j)
+                B[: msv_i + 1, 12] = ingest.times[: msv_i + 1]
+                p3_new, t_track = reanchor(
+                    cfg, cam, scale, track_px[: msv_i + 1], vg_msv, B,
+                    tA[seg_a - 1].astype(np.float64), np.array(p3_np),
+                )
+                if t_track is not None:
+                    B[: msv_i + 1, 3:6] = t_track
+                    B[: msv_i + 1, 0:3] = B[0, 0:3] + t_track
+                p3B = jnp.asarray(p3_new, sdt)
+                vpB = jnp.asarray(vg_msv)
 
-        # ---- segment A: frames 1..msv ----
-        carryA, outA = scan_segment(
-            frames_dev[1 : seg_a + 1], im0, small0, pts0,
-            jnp.asarray(vg0), jnp.asarray(vp0), p3, intr,
-            all_keys[1 : seg_a + 1], cfg.tracker, cfg.solver, sdt,
-        )
-        ptsA, vgA, vpA, tA, resA, pprojA, n2A = jax.tree.map(np.asarray, outA)
+                pyrM, spyrM, pts_msv, vg_msv_dev, _vp, t_msv = carryA
+                framesB = jnp.stack([ingest.wait(j) for j in range(msv_i + 1, n)])
+                carryB, outB = scan_segment(
+                    framesB, pyrM, spyrM, pts_msv,
+                    vg_msv_dev, vpB, t_msv, p3B, intr,
+                    all_keys[msv_i + 1 :], cfg.tracker, cfg.solver, sdt,
+                    lean=lean,
+                )
+                if lean:
+                    packedB = np.asarray(outB, np.float64)  # (k, 8)
+                    tB = packedB[:, 0:3]
+                    resB = packedB[:, 3]
+                    ntB = packedB[:, 4]
+                    n2B = packedB[:, 5]
+                    ptsB = vgB = vpB_o = pprojB = None
+                else:
+                    ptsB, vgB, vpB_o, tB, resB, pprojB, n2B = jax.tree.map(
+                        np.asarray, outB)
+                    ntB = None
+            else:
+                tB = np.zeros((0, 3)); resB = np.zeros(0)
+                ptsB = np.zeros((0, N, 2)); vgB = np.zeros((0, N), bool)
+                pprojB = np.zeros((0, N, 2)); vpB_o = np.zeros((0, N), bool)
+                ntB = None
 
-        # ---- host MSV re-anchor (f64), then segment B ----
-        track_px = np.full((n, N, 2), np.nan, np.float32)
-        valid_hist = np.zeros((n, N), bool)
-        track_px[0, vg0] = p[vg0]
-        valid_hist[0] = vg0
-        for j in range(seg_a):
-            vgj = vgA[j]
-            track_px[j + 1, vgj] = ptsA[j][vgj]
-            valid_hist[j + 1] = vgj
-
-        B = np.zeros((n, 14), np.float64)
-        B[:, 12] = times
-        B[:, 13] = indices
-        B[0, 0:3] = t0_np
-        for j in range(seg_a):
-            B[j + 1, 3:6] = tA[j]
-            B[j + 1, 0:3] = B[0, 0:3] + tA[j]
-
-        vg_msv = vgA[seg_a - 1] if seg_a >= 1 else vg0
-        if n > msv_i:
-            from velocity_tpu.pipeline.anchor import reanchor
-
-            p3_new, t_track = reanchor(
-                cfg, cam, scale, track_px[: msv_i + 1], vg_msv, B,
-                tA[seg_a - 1].astype(np.float64), np.array(p3_np),
-            )
-            if t_track is not None:
-                B[: msv_i + 1, 3:6] = t_track
-                B[: msv_i + 1, 0:3] = B[0, 0:3] + t_track
-            p3B = jnp.asarray(p3_new, sdt)
-            vpB = jnp.asarray(vg_msv)
-
-            im_msv, small_msv, pts_msv, vg_msv_dev, _ = carryA
-            carryB, outB = scan_segment(
-                frames_dev[msv_i + 1 :], im_msv, small_msv, pts_msv,
-                vg_msv_dev, vpB, p3B, intr,
-                all_keys[msv_i + 1 :], cfg.tracker, cfg.solver, sdt,
-            )
-            ptsB, vgB, vpB_o, tB, resB, pprojB, n2B = jax.tree.map(np.asarray, outB)
-        else:
-            ptsB = np.zeros((0, N, 2)); vgB = np.zeros((0, N), bool)
-            tB = np.zeros((0, 3)); resB = np.zeros(0); pprojB = np.zeros((0, N, 2))
-            n2B = np.zeros(0); vpB_o = np.zeros((0, N), bool)
+            ingest.join()
+            B[:, 12] = ingest.times
+            B[:, 13] = ingest.indices
+        grays0, graysL = ingest.grays[0], ingest.grays[-1]
 
         # ---- assemble the table ----
         proj_px = np.full((n, N, 2), np.nan, np.float32)
-        vpA_np = vpA
         for j in range(seg_a):
-            proj_px[j + 1, vpA_np[j]] = pprojA[j][vpA_np[j]]
+            proj_px[j + 1, vpA[j]] = pprojA[j][vpA[j]]
+        nt_lean = np.zeros(n)
         for j in range(len(tB)):
             i = msv_i + 1 + j
-            vgj = vgB[j]
-            track_px[i, vgj] = ptsB[j][vgj]
-            valid_hist[i] = vgj
-            proj_px[i, vpB_o[j]] = pprojB[j][vpB_o[j]]
+            if ptsB is not None:
+                vgj = vgB[j]
+                track_px[i, vgj] = ptsB[j][vgj]
+                valid_hist[i] = vgj
+                proj_px[i, vpB_o[j]] = pprojB[j][vpB_o[j]]
+            else:
+                nt_lean[i] = ntB[j]
             B[i, 3:6] = tB[j]
             B[i, 0:3] = B[0, 0:3] + tB[j]
 
         S = np.zeros((n, 9), np.float64)
         dist = 0.0
         res_all = np.concatenate([[res0], resA, resB])
+        wall = _time.time() - t_wall0
+        # scanned segments execute as one dispatch; attribute wall time
+        # uniformly (the reference prints per-frame host loop time,
+        # vidExample.py:162-165 — the scan analog is wall/frames)
+        proc = wall / n
         for i in range(n):
             dt = B[i, 12] - B[i - 1, 12] if i > 0 else np.nan
             dr = (float(np.linalg.norm(B[i, 0:3] - B[i - 1, 0:3])) if i > 0 else 0.0)
             dist += dr
-            S[i] = (i, 0.0, valid_hist[i].sum(), res_all[i], dt,
+            ntr = valid_hist[i].sum() if (i <= msv_i or ptsB is not None) else nt_lean[i]
+            S[i] = (i, proc, ntr, res_all[i], dt,
                     B[i, 12] - B[0, 12], dr, dist,
                     dr / dt * 3.6 if i > 0 and dt > 0 else np.nan)
-        wall = _time.time() - t_wall0
         if verbose:
             print(report.header())
             for i in range(n):
@@ -237,6 +361,7 @@ class ScanSpeedRunner:
         return RunResult(
             S=S, B=B, track_px=track_px, proj_px=proj_px, valid=valid_hist,
             plate_box=boxa, roi_box=boxb, camera=cam, config=cfg,
-            first_gray=grays[0], last_gray=grays[-1],
-            timings={"wall_s": wall, "fps": n / wall},
+            first_gray=grays0, last_gray=graysL,
+            timings={"wall_s": wall, "fps": n / wall,
+                     "init_and_segA_s": t_init_done - t_wall0},
         )

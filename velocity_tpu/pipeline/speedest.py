@@ -33,7 +33,12 @@ from velocity_tpu.ingest.video import VideoReader
 from velocity_tpu.ops.harris import good_features, corner_subpix
 from velocity_tpu.pipeline import report
 from velocity_tpu.pipeline.roi import bounding_rect, inside_bbox
-from velocity_tpu.pipeline.tracker import ThreeStageTracker, fused_frame_step
+from velocity_tpu.pipeline.tracker import (
+    ThreeStageTracker,
+    frame_pyramids,
+    fused_frame_step,
+    fused_frame_step_pyr,
+)
 from velocity_tpu.solvers.pose import estimate_world_camera_pose
 from velocity_tpu.solvers.triangulate import msv_refine_translation
 
@@ -157,25 +162,29 @@ class SpeedEstimator:
 
     # ------------------------------------------------------------ frame step
     def _frame_step_with_fallback(
-        self, im_prev, im_dev, small_prev, pts_dev, vg_dev, vp_dev, p3,
-        intr, kf, sdt, prev_gray, gray,
+        self, pyr_prev, spyr_prev, im_dev, pts_dev, vg_dev, vp_dev, p3,
+        intr, kf, sdt, prev_gray, gray, t_prev,
     ):
         """Fused device step + host feature-match rescue on tracking collapse.
 
         Mirrors the reference's SURF fallback trigger (KLT.py:126-130): when
         stage 2 leaves <= min_affine_inliers survivors, a full-frame feature
         match supplies the affine prior and the fine stage + pose solve rerun.
+        The pose solve warm-starts from the previous frame's translation
+        (reference: /root/reference/vidExample.py:139 carries the running t).
         """
         import numpy as _np
 
         cfg = self.config
-        out = fused_frame_step(
-            im_prev, im_dev, small_prev, pts_dev, vg_dev, vp_dev,
-            p3, intr, kf, cfg.tracker, cfg.solver, sdt,
+        out = fused_frame_step_pyr(
+            pyr_prev, spyr_prev, im_dev, pts_dev, vg_dev, vp_dev,
+            p3, intr, kf, cfg.tracker, cfg.solver, sdt, t_prev,
         )
-        if int(out[7]) <= cfg.tracker.min_affine_inliers:
+        pyr_cur, spyr_cur = out[0], out[1]
+        out = out[2:]
+        if int(out[6]) <= cfg.tracker.min_affine_inliers:
             from velocity_tpu.ops.match import affine_from_feature_match
-            from velocity_tpu.pipeline.tracker import _track_fine
+            from velocity_tpu.pipeline.tracker import _track_fine_p
             from velocity_tpu.solvers.pose import estimate_world_camera_pose
 
             T23 = affine_from_feature_match(
@@ -183,13 +192,14 @@ class SpeedEstimator:
                 scale=0.5,
             )
             T23j = jnp.asarray(T23, jnp.float32)
-            p_new, vg_new = _track_fine(
-                im_prev, im_dev, pts_dev, vg_dev, T23j, cfg.tracker
+            p_new, vg_new = _track_fine_p(
+                pyr_prev, pyr_cur, pts_dev, vg_dev, T23j, cfg.tracker
             )
             vp_new = vp_dev & vg_new
             pose = estimate_world_camera_pose(
                 intr, p_new.astype(sdt), p3,
-                t0=jnp.asarray([0.0, 0.0, 1.0], sdt),
+                t0=(t_prev.astype(sdt) if t_prev is not None
+                    else jnp.asarray([0.0, 0.0, 1.0], sdt)),
                 R0=jnp.eye(3, dtype=sdt), find_R=False,
                 mask=vp_new, config=cfg.solver,
             )
@@ -197,13 +207,13 @@ class SpeedEstimator:
                 pose.t.astype(jnp.float32),
                 jnp.asarray([pose.residual_rms], jnp.float32),
                 jnp.asarray([jnp.sum(vg_new)], jnp.float32),
-                jnp.asarray([out[7]], jnp.float32),
+                jnp.asarray([out[6]], jnp.float32),
             ])
             out = (
-                p_new, vg_new, vp_new, out[3],
-                pose.t, pose.residual_rms, pose.p_proj, out[7], T23j, packed,
+                p_new, vg_new, vp_new,
+                pose.t, pose.residual_rms, pose.p_proj, out[6], T23j, packed,
             )
-        return out
+        return (pyr_cur, spyr_cur) + out
 
     # ------------------------------------------------------------------- run
     def run(
@@ -283,8 +293,7 @@ class SpeedEstimator:
                     pts_dev = jnp.asarray(p, jnp.float32)
                     vg_dev = jnp.asarray(vg)
                     vp_dev = jnp.asarray(vp)
-                    small_prev = self.tracker.initial_small(im_dev)
-                    im_prev = im_dev
+                    pyr_prev, spyr_prev = frame_pyramids(im_dev, cfg.tracker)
                     dt = np.nan
                     dr = 0.0
                     dist = 0.0
@@ -294,13 +303,13 @@ class SpeedEstimator:
                 else:
                     key, kf = jax.random.split(key)
                     (
-                        pts_dev, vg_dev, vp_dev, small_prev,
+                        pyr_prev, spyr_prev,
+                        pts_dev, vg_dev, vp_dev,
                         t, residuals, pproj_dev, n2, _T23, packed_dev,
                     ) = self._frame_step_with_fallback(
-                        im_prev, im_dev, small_prev, pts_dev, vg_dev, vp_dev,
-                        p3, intr, kf, sdt, prev_gray, gray,
+                        pyr_prev, spyr_prev, im_dev, pts_dev, vg_dev, vp_dev,
+                        p3, intr, kf, sdt, prev_gray, gray, t,
                     )
-                    im_prev = im_dev
                     if lean and i > cfg.msv_frame:
                         # transfer-lean steady state: one packed vector/frame
                         packed = np.asarray(packed_dev, np.float64)

@@ -38,6 +38,24 @@ def _lk_impls(cfg: TrackerConfig):
     return lk_pyramidal, lk_forward_backward
 
 
+def frame_pyramids(im, cfg: TrackerConfig, dtype=jnp.float32):
+    """Per-frame pyramid set, built ONCE and threaded through the frame carry.
+
+    Returns (full_pyr, small_pyr): float pyramids of the full-res frame and
+    of its 1/4-scale INTER_NEAREST coarse image (the reference's stage-1
+    image, KLT.py:111-113). Building these once per frame — instead of
+    inside every LK call — removes ~8 redundant full-res pyramid builds per
+    forward-backward 3-stage step.
+    """
+    from velocity_tpu.ops.pyramid import build_pyramid
+
+    f = im.astype(dtype)
+    full = tuple(build_pyramid(f, cfg.lk_coarse.max_level))
+    small_img = resize_nearest(f, cfg.coarse_scale)
+    small = tuple(build_pyramid(small_img, cfg.lk_coarse.max_level))
+    return full, small
+
+
 class TrackOutput(NamedTuple):
     points: jnp.ndarray  # (N, 2) tracked positions (valid lanes only meaningful)
     valid: jnp.ndarray  # (N,) bool: input valid & stage-3 survival
@@ -46,31 +64,32 @@ class TrackOutput(NamedTuple):
     n_stage2: jnp.ndarray  # stage-2 survivor count (fallback trigger)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _track_stages(
-    im_prev,
-    im_cur,
-    small_prev,
-    pts,
-    valid,
-    key,
-    cfg: TrackerConfig,
+def _pyr_kw(cfg: TrackerConfig, src_pyr, dst_pyr):
+    """Prebuilt-pyramid kwargs (lanes backend only; others rebuild)."""
+    if cfg.lk_backend == "lanes":
+        return dict(src_pyr=src_pyr, dst_pyr=dst_pyr)
+    return {}
+
+
+def _track_stages_p(
+    pyr_prev, pyr_cur, spyr_prev, spyr_cur, pts, valid, key, cfg: TrackerConfig
 ):
+    """Stages 1-2 + affine estimation, on prebuilt per-frame pyramids."""
     dtype = pts.dtype
     scale = cfg.coarse_scale
-    small_cur = resize_nearest(im_cur, scale)
     lk_pyr, lk_fb = _lk_impls(cfg)
 
     # ---- stage 1: coarse global LK on small images + RANSAC inliers ----
     lk1 = cfg.lk_coarse
     r1 = lk_pyr(
-        small_prev.astype(dtype),
-        small_cur.astype(dtype),
+        spyr_prev[0].astype(dtype),
+        spyr_cur[0].astype(dtype),
         pts * scale,
         win=lk1.window,
         max_level=lk1.max_level,
         iters=lk1.max_iters,
         eps=lk1.eps,
+        **_pyr_kw(cfg, spyr_prev, spyr_cur),
     )
     p1 = r1.points / scale
     v1 = valid & r1.status
@@ -90,8 +109,8 @@ def _track_stages(
     mean_shift = jnp.sum((p1 - pts) * m1, axis=0) / n1
     shift_int = jnp.trunc(mean_shift)  # reference: int() truncation (KLT.py:66-67)
     r2 = lk_fb(
-        im_prev.astype(dtype),
-        im_cur.astype(dtype),
+        pyr_prev[0].astype(dtype),
+        pyr_cur[0].astype(dtype),
         pts,
         guess=pts + shift_int,
         fb_threshold=cfg.fb_threshold_coarse,
@@ -99,6 +118,7 @@ def _track_stages(
         max_level=lk1.max_level,
         iters=lk1.max_iters,
         eps=lk1.eps,
+        **_pyr_kw(cfg, pyr_prev, pyr_cur),
     )
     p2 = r2.points  # already current-frame coordinates
     v2 = valid & r2.status
@@ -113,17 +133,17 @@ def _track_stages(
     use2 = n2 > cfg.min_affine_inliers
     T23 = jnp.where(use2, ransac2.M, ransac1.M)
 
-    return small_cur, T23, n2, key
+    return T23, n2, key
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _track_fine(im_prev, im_cur, pts, valid, T23, cfg: TrackerConfig):
+def _track_fine_p(pyr_prev, pyr_cur, pts, valid, T23, cfg: TrackerConfig):
+    """Stage 3 (fine, affine-warped, fb-gated) on prebuilt pyramids."""
     dtype = pts.dtype
     lk3 = cfg.lk_fine
     _, lk_fb = _lk_impls(cfg)
     r3 = lk_fb(
-        im_prev.astype(dtype),
-        im_cur.astype(dtype),
+        pyr_prev[0].astype(dtype),
+        pyr_cur[0].astype(dtype),
         pts,
         fb_threshold=cfg.fb_threshold_fine,
         warp_dst=T23,
@@ -131,11 +151,125 @@ def _track_fine(im_prev, im_cur, pts, valid, T23, cfg: TrackerConfig):
         max_level=lk3.max_level,
         iters=lk3.max_iters,
         eps=lk3.eps,
+        **_pyr_kw(cfg, pyr_prev[: lk3.max_level + 1], pyr_cur[: lk3.max_level + 1]),
     )
     # map solved (previous-frame) coords through the affine into current frame
     p3 = r3.points @ T23[:, :2].T + T23[:, 2]
     v3 = valid & r3.status
     return p3, v3
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _track_stages(
+    im_prev,
+    im_cur,
+    small_prev,
+    pts,
+    valid,
+    key,
+    cfg: TrackerConfig,
+):
+    """Image-input compatibility wrapper (rebuilds pyramids every call; the
+    hot paths use the *_p pyramid-carry forms via fused_frame_step_pyr)."""
+    from velocity_tpu.ops.pyramid import build_pyramid
+
+    dtype = pts.dtype
+    L = cfg.lk_coarse.max_level
+    pyr_prev = tuple(build_pyramid(im_prev.astype(dtype), L))
+    pyr_cur, spyr_cur = frame_pyramids(im_cur, cfg, dtype)
+    spyr_prev = tuple(build_pyramid(small_prev.astype(dtype), L))
+    T23, n2, key = _track_stages_p(
+        pyr_prev, pyr_cur, spyr_prev, spyr_cur, pts, valid, key, cfg
+    )
+    return spyr_cur[0], T23, n2, key
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _track_fine(im_prev, im_cur, pts, valid, T23, cfg: TrackerConfig):
+    from velocity_tpu.ops.pyramid import build_pyramid
+
+    dtype = pts.dtype
+    L = cfg.lk_fine.max_level
+    pyr_prev = tuple(build_pyramid(im_prev.astype(dtype), L))
+    pyr_cur = tuple(build_pyramid(im_cur.astype(dtype), L))
+    return _track_fine_p(pyr_prev, pyr_cur, pts, valid, T23, cfg)
+
+
+def _step_core(
+    pyr_prev, spyr_prev, pyr_cur, spyr_cur, pts, vg, vp, p3, intr, key,
+    t0, cfg, solver_cfg, solver_dtype,
+):
+    """Track + mask composition + pose solve on prebuilt pyramids."""
+    from velocity_tpu.solvers.pose import estimate_world_camera_pose
+    from velocity_tpu.config import SolverConfig
+
+    if solver_cfg is None:
+        solver_cfg = SolverConfig()
+
+    T23, n2, _ = _track_stages_p(
+        pyr_prev, pyr_cur, spyr_prev, spyr_cur, pts, vg, key, cfg
+    )
+    p_new, vg_new = _track_fine_p(pyr_prev, pyr_cur, pts, vg, T23, cfg)
+    vp_new = vp & vg_new
+
+    if t0 is None:
+        t0 = jnp.asarray([0.0, 0.0, 1.0], solver_dtype)
+    pose = estimate_world_camera_pose(
+        intr,
+        p_new.astype(solver_dtype),
+        p3,
+        t0=t0.astype(solver_dtype),
+        R0=jnp.eye(3, dtype=solver_dtype),
+        find_R=False,
+        mask=vp_new,
+        config=solver_cfg,
+    )
+    # packed scalar summary: one small device->host transfer serves the whole
+    # per-frame report when the caller runs transfer-lean (remote TPU)
+    packed = jnp.concatenate(
+        [
+            pose.t.astype(jnp.float32),
+            jnp.asarray([pose.residual_rms], jnp.float32),
+            jnp.asarray([jnp.sum(vg_new)], jnp.float32),
+            jnp.asarray([n2], jnp.float32),
+        ]
+    )
+    return (
+        p_new, vg_new, vp_new,
+        pose.t, pose.residual_rms, pose.p_proj, n2, T23, packed,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "solver_cfg", "solver_dtype"))
+def fused_frame_step_pyr(
+    pyr_prev,  # tuple: previous frame's full-res pyramid (the scan carry)
+    spyr_prev,  # tuple: previous frame's 1/4-scale pyramid
+    im_cur,  # (H, W) current frame (uint8 ok)
+    pts,
+    vg,
+    vp,
+    p3,
+    intr,
+    key,
+    cfg: TrackerConfig,
+    solver_cfg=None,
+    solver_dtype=jnp.float32,
+    t0=None,
+):
+    """One fused device step with pyramid carry — the steady-state hot path.
+
+    Builds the current frame's pyramids ONCE and returns them for the next
+    step's carry, so each frame pays exactly one full-res pyramid build
+    (vs ~8 with image-input LK calls). ``t0`` optionally warm-starts the
+    pose solve from the previous frame's translation (reference behavior:
+    /root/reference/vidExample.py:139 passes the running translation).
+    """
+    pyr_cur, spyr_cur = frame_pyramids(im_cur, cfg)
+    outs = _step_core(
+        pyr_prev, spyr_prev, pyr_cur, spyr_cur, pts, vg, vp, p3, intr, key,
+        t0, cfg, solver_cfg, solver_dtype,
+    )
+    return (pyr_cur, spyr_cur) + outs
 
 
 @partial(jax.jit, static_argnames=("cfg", "solver_cfg", "solver_dtype"))
@@ -153,46 +287,26 @@ def fused_frame_step(
     solver_cfg=None,
     solver_dtype=jnp.float32,
 ):
-    """One fused device step: 3-stage track + mask composition + pose solve.
+    """Image-input fused step (compatibility form; rebuilds prev pyramids).
 
-    This is the steady-state hot path — a single dispatch per frame (the
-    per-stage jits remain for testing/fallback use). Returns everything the
-    host driver needs: (pts', vg', vp', small_cur, t, residual_rms, p_proj,
-    n_stage2, T23).
+    Returns (pts', vg', vp', small_cur, t, residual_rms, p_proj, n_stage2,
+    T23, packed) like before; steady-state drivers should prefer
+    ``fused_frame_step_pyr``.
     """
-    from velocity_tpu.solvers.pose import estimate_world_camera_pose
-    from velocity_tpu.config import SolverConfig
+    from velocity_tpu.ops.pyramid import build_pyramid
 
-    if solver_cfg is None:
-        solver_cfg = SolverConfig()
-
-    small_cur, T23, n2, _ = _track_stages(im_prev, im_cur, small_prev, pts, vg, key, cfg)
-    p_new, vg_new = _track_fine(im_prev, im_cur, pts, vg, T23, cfg)
-    vp_new = vp & vg_new
-
-    pose = estimate_world_camera_pose(
-        intr,
-        p_new.astype(solver_dtype),
-        p3,
-        t0=jnp.asarray([0.0, 0.0, 1.0], solver_dtype),
-        R0=jnp.eye(3, dtype=solver_dtype),
-        find_R=False,
-        mask=vp_new,
-        config=solver_cfg,
+    L = cfg.lk_coarse.max_level
+    pyr_prev = tuple(build_pyramid(im_prev.astype(jnp.float32), L))
+    spyr_prev = tuple(build_pyramid(small_prev.astype(jnp.float32), L))
+    pyr_cur, spyr_cur = frame_pyramids(im_cur, cfg)
+    outs = _step_core(
+        pyr_prev, spyr_prev, pyr_cur, spyr_cur, pts, vg, vp, p3, intr, key,
+        None, cfg, solver_cfg, solver_dtype,
     )
-    # packed scalar summary: one small device->host transfer serves the whole
-    # per-frame report when the caller runs transfer-lean (remote TPU)
-    packed = jnp.concatenate(
-        [
-            pose.t.astype(jnp.float32),
-            jnp.asarray([pose.residual_rms], jnp.float32),
-            jnp.asarray([jnp.sum(vg_new)], jnp.float32),
-            jnp.asarray([n2], jnp.float32),
-        ]
-    )
+    (p_new, vg_new, vp_new, t, res, pproj, n2, T23, packed) = outs
     return (
-        p_new, vg_new, vp_new, small_cur,
-        pose.t, pose.residual_rms, pose.p_proj, n2, T23, packed,
+        p_new, vg_new, vp_new, spyr_cur[0],
+        t, res, pproj, n2, T23, packed,
     )
 
 
