@@ -76,6 +76,26 @@ class RunResult:
 from functools import partial
 
 
+@partial(jax.jit, static_argnames=("box", "max_corners", "quality", "block", "k",
+                                   "subpix_win", "subpix_iters", "subpix_eps"))
+def _init_features_jit(gray, box, max_corners, quality, block, k,
+                       subpix_win, subpix_iters, subpix_eps):
+    """Harris-in-ROI + subpixel refine as ONE compiled graph / one fetch.
+
+    The two-dispatch form (good_features fetch, then corner_subpix fetch)
+    pays two tunnel round trips plus a host hop; fused it is a single
+    dispatch returning (refined points in image coords, validity).
+    """
+    x0, x1, y0, y1 = box
+    roi = gray[y0:y1, x0:x1]
+    corners = good_features(roi, max_corners=max_corners, quality_level=quality,
+                            block=block, k=k)
+    pts = corners.points + jnp.asarray([x0, y0], corners.points.dtype)
+    refined = corner_subpix(gray, pts, half_win=subpix_win,
+                            max_iters=subpix_iters, eps=subpix_eps)
+    return refined, corners.valid
+
+
 @partial(jax.jit, static_argnames=("solver_cfg",))
 def _init_geometry_jit(intr, q, plate, p, solver_cfg):
     """Frame-0 plate solve + plane backprojection as one compiled graph
@@ -99,26 +119,13 @@ class SpeedEstimator:
         cfg = self.config.tracker
         boxa = bounding_rect(q, gray.shape, border=(0, 0))
         boxb = bounding_rect(q, gray.shape, border=self.config.tracker.roi_border)
-        x0, x1, y0, y1 = boxb
-        roi = gray[y0:y1, x0:x1]
-        corners = good_features(
-            jnp.asarray(roi),
-            max_corners=cfg.max_features - 4,
-            quality_level=cfg.harris_quality,
-            block=cfg.harris_block,
-            k=cfg.harris_k,
+        refined_d, cvalid_d = _init_features_jit(
+            jnp.asarray(gray), tuple(int(v) for v in boxb),
+            cfg.max_features - 4, cfg.harris_quality, cfg.harris_block,
+            cfg.harris_k, cfg.subpix_window, cfg.subpix_iters, cfg.subpix_eps,
         )
-        pts = np.asarray(corners.points) + np.array([x0, y0], np.float32)
-        cvalid = np.asarray(corners.valid)
-        refined = np.asarray(
-            corner_subpix(
-                jnp.asarray(gray),  # uint8 upload; the op casts on device
-                jnp.asarray(pts.astype(np.float32)),
-                half_win=cfg.subpix_window,
-                max_iters=cfg.subpix_iters,
-                eps=cfg.subpix_eps,
-            )
-        )
+        refined = np.asarray(refined_d)
+        cvalid = np.asarray(cvalid_d)
         N = cfg.max_features
         p = np.zeros((N, 2), np.float32)
         valid = np.zeros(N, bool)
