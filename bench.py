@@ -5,10 +5,13 @@ Baseline: the reference CPU implementation measured at 14.67 fps on IMG_4119
 (BASELINE.md). Also validates the speed estimate against the golden value and
 reports it in auxiliary fields.
 
-Strategy: prefer the scan pipeline (2 device dispatches/video); if the device
-rejects the large scanned graph (observed on flaky remote workers), fall back
-to the transfer-lean per-frame driver. Timing is the median of repeated
-post-warmup runs.
+Strategy: the scan pipeline in transfer-lean mode (2 device dispatches/video,
+packed per-frame summaries; the tunnel D2H link runs ~3 MB/s so fetching
+per-point history would dominate). Falls back to the per-frame driver if the
+device rejects the scanned graph. Warmup uses the SAME frame count as the
+timed runs so no recompile lands in the timing loop; a persistent XLA
+compilation cache in-repo makes later processes skip the multi-minute
+Mosaic/XLA compile entirely.
 """
 
 from __future__ import annotations
@@ -20,6 +23,20 @@ import time
 
 BASELINE_FPS_4119 = 14.67
 GOLDEN_SPEED_4119 = 18.74
+N_FRAMES = 20
+
+
+def _enable_compile_cache():
+    import os
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older jax: cache flags absent; compile cost stays in warmup
 
 
 def _run_scan(cfg, run, n):
@@ -27,7 +44,8 @@ def _run_scan(cfg, run, n):
 
     r = ScanSpeedRunner(cfg)
     return r.run(run.video, annotation=run.annotation,
-                 start_frame=run.start_frame, n_frames=n, verbose=False)
+                 start_frame=run.start_frame, n_frames=n, verbose=False,
+                 lean=True)
 
 
 def _run_frames(cfg, run, n):
@@ -40,6 +58,7 @@ def _run_frames(cfg, run, n):
 
 
 def main():
+    _enable_compile_cache()
     from velocity_tpu.config import PipelineConfig, SolverConfig
     from velocity_tpu.pipeline.datasets import known_run
 
@@ -49,20 +68,20 @@ def main():
     runner = _run_scan
     mode = "scan"
     try:
-        runner(cfg, run, 8)  # warmup/compile probe
+        runner(cfg, run, N_FRAMES)  # warmup/compile at the TIMED shape
     except Exception as e:  # scanned graph rejected -> per-frame fallback
         sys.stderr.write(f"scan path failed ({type(e).__name__}: {e}); "
                          "falling back to per-frame driver\n")
         runner = _run_frames
         mode = "frames"
-        runner(cfg, run, 8)  # warm the per-frame compiles
+        runner(cfg, run, N_FRAMES)  # warm the per-frame compiles
 
     walls, res = [], None
     for _ in range(3):
         t0 = time.time()
-        res = runner(cfg, run, run.n_frames)
+        res = runner(cfg, run, N_FRAMES)
         walls.append(time.time() - t0)
-    fps = run.n_frames / statistics.median(walls)
+    fps = N_FRAMES / statistics.median(walls)
 
     out = {
         "metric": "frames/s/chip IMG_4119 end-to-end (incl. decode)",
