@@ -1,0 +1,84 @@
+"""Long-video windowed driver: stitching units + end-to-end resume (slow)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from velocity_tpu.parallel.windows import stitch_windows, split_windows
+
+HAVE_DATA = Path("/root/reference/data/IMG_4119.MOV").exists()
+
+
+class TestStitchGauge:
+    def test_translation_chain(self):
+        # two windows of a straight track, window-local frames
+        g = np.stack([np.linspace(0, 10, 11), np.zeros(11), np.zeros(11)], 1)
+        w0 = g[:6] - g[0]
+        w1 = g[5:11] - g[5]
+        out = stitch_windows(np.stack([w0, w1]), overlap=1, gauge="translation")
+        np.testing.assert_allclose(out, g - g[0], atol=1e-12)
+
+    def test_similarity_recovers_rotation_and_scale(self):
+        rng = np.random.default_rng(0)
+        g = np.cumsum(rng.uniform(0.5, 1.0, (12, 3)), axis=0)
+        w0 = g[:7] - g[0]
+        # second window rotated+scaled into its own gauge
+        th = 0.3
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+        s = 1.7
+        w1_global = g[4:12] - g[4]
+        w1 = (R.T @ (w1_global.T / s)).T  # local = s^-1 R^-1 global
+        out = stitch_windows(np.stack([np.pad(w0, ((0, 1), (0, 0)),
+                                              mode="edge"),
+                                       w1]), overlap=3, gauge="similarity")
+        # first window rows exact; mapped second window matches global chain
+        np.testing.assert_allclose(out[:7], np.pad(w0, ((0, 1), (0, 0)),
+                                                   mode="edge")[:7], atol=1e-9)
+
+    def test_split_windows_cover(self):
+        w = split_windows(201, 24, 3)
+        assert w[0][0] == 0 and w[-1][1] == 201
+        for (s0, e0), (s1, e1) in zip(w, w[1:]):
+            assert s1 == e0 - 3
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not HAVE_DATA, reason="reference dataset not mounted")
+class TestLongVideoResume:
+    def test_resume_matches_uninterrupted(self, tmp_path):
+        from velocity_tpu.config import PipelineConfig, SolverConfig
+        from velocity_tpu.pipeline.longvideo import LongVideoRunner
+        from velocity_tpu.pipeline.datasets import known_run
+
+        run = known_run("IMG_4119")
+        cfg = PipelineConfig(solver=SolverConfig(dtype="float32"))
+        n = 14
+        ck = tmp_path / "state.npz"
+
+        full = LongVideoRunner(cfg).run(
+            run.video, annotation=run.annotation, start_frame=run.start_frame,
+            n_frames=n, window=6, overlap=2, ba_refine=False, verbose=False,
+        )
+        # interrupted: first pass writes checkpoints, second pass resumes
+        LongVideoRunner(cfg).run(
+            run.video, annotation=run.annotation, start_frame=run.start_frame,
+            n_frames=10, window=6, overlap=2, checkpoint=ck, ba_refine=False,
+            verbose=False,
+        )
+        assert ck.exists()
+        resumed = LongVideoRunner(cfg).run(
+            run.video, annotation=run.annotation, start_frame=run.start_frame,
+            n_frames=n, window=6, overlap=2, checkpoint=ck, resume=True,
+            ba_refine=False, verbose=False,
+        )
+        # trajectories agree (resume re-enters at a window boundary with the
+        # exact saved state; later frames must match the uninterrupted run)
+        np.testing.assert_allclose(
+            resumed.B[:, 0:3], full.B[:, 0:3], atol=5e-3)
+        assert abs(resumed.speed_kmh - full.speed_kmh) < 0.3
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])

@@ -78,6 +78,32 @@ def cmd_speed(args) -> int:
     return 0
 
 
+def cmd_longvideo(args) -> int:
+    from velocity_tpu.pipeline.longvideo import LongVideoRunner
+
+    runner = LongVideoRunner(_pipeline_config(args))
+    res = runner.run(
+        args.video,
+        annotation=args.annotation,
+        n_frames=args.frames,
+        start_frame=args.start_frame,
+        window=args.window,
+        overlap=args.overlap,
+        checkpoint=args.checkpoint,
+        resume=args.resume,
+        ba_refine=not args.no_ba,
+        verbose=not args.quiet,
+    )
+    if args.json:
+        print(json.dumps({
+            "speed_kmh": res.speed_kmh, "speed_std": res.speed_std,
+            "residual_px": res.residual_px, "fps": res.timings["fps"],
+            "windows": res.timings.get("windows"),
+            "ba_refined": res.timings.get("ba_refined"),
+        }))
+    return 0
+
+
 def cmd_stills(args) -> int:
     from velocity_tpu.pipeline.stills import StillsSpeedEstimator
 
@@ -129,6 +155,20 @@ def main(argv=None) -> int:
     sp = sub.add_parser("speed", help="video speed estimation")
     _add_speed_args(sp)
     sp.set_defaults(fn=cmd_speed)
+
+    sp = sub.add_parser(
+        "longvideo",
+        help="full-length video: windowed tracking + per-window BA + resume",
+    )
+    _add_speed_args(sp)
+    sp.add_argument("--window", type=int, default=24, help="frames per window")
+    sp.add_argument("--overlap", type=int, default=3, help="shared frames")
+    sp.add_argument("--checkpoint", default=None, help="window-state .npz path")
+    sp.add_argument("--resume", action="store_true",
+                    help="resume from --checkpoint if present")
+    sp.add_argument("--no-ba", action="store_true",
+                    help="skip the per-window BA refinement")
+    sp.set_defaults(fn=cmd_longvideo)
 
     sp = sub.add_parser("stills", help="stills-burst speed estimation")
     sp.add_argument("--images", nargs="+", required=True)

@@ -57,3 +57,10 @@ class StillsReader:
             except KeyError:
                 llat = None
             yield i, gray, llat
+
+    def yaw_deg(self, index: int = 0) -> float | None:
+        """True-north camera yaw of one still (GPSImgDirection + declination,
+        matlab/runExample.m:49-50)."""
+        from velocity_tpu.camera.exif import exif_yaw_deg
+
+        return exif_yaw_deg(read_exif(self.paths[index]))

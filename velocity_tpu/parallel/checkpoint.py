@@ -25,12 +25,19 @@ class WindowState:
     p3: np.ndarray  # (N, 3) structure
     B: np.ndarray  # (n_so_far, 14) car info rows
     S: np.ndarray  # (n_so_far, 9) stats rows
+    track_px: np.ndarray | None = None  # (n_so_far, N, 2) track history
+    valid_hist: np.ndarray | None = None  # (n_so_far, N) per-frame validity
     meta: dict = field(default_factory=dict)
 
 
 def save_state(path: str | Path, state: WindowState) -> None:
     meta_keys = np.array(sorted(state.meta.keys()), dtype=np.str_)
     meta_vals = np.array([str(state.meta[k]) for k in sorted(state.meta)], dtype=np.str_)
+    extra = {}
+    if state.track_px is not None:
+        extra["track_px"] = state.track_px
+    if state.valid_hist is not None:
+        extra["valid_hist"] = state.valid_hist
     np.savez_compressed(
         str(path),
         frame_index=np.int64(state.frame_index),
@@ -42,6 +49,7 @@ def save_state(path: str | Path, state: WindowState) -> None:
         S=state.S,
         meta_keys=meta_keys,
         meta_vals=meta_vals,
+        **extra,
     )
 
 
@@ -56,5 +64,7 @@ def load_state(path: str | Path) -> WindowState:
         p3=z["p3"],
         B=z["B"],
         S=z["S"],
+        track_px=z["track_px"] if "track_px" in z else None,
+        valid_hist=z["valid_hist"] if "valid_hist" in z else None,
         meta=meta,
     )

@@ -54,6 +54,7 @@ def windowed_ba(
     window_axis: str = "window",
     point_axis: str = "point",
     config: BAConfig = BAConfig(),
+    fix_rotations: bool = False,
 ):
     """Batched per-window Schur BA: windows sharded over ``window_axis``,
     each window's tracks sharded over ``point_axis``.
@@ -88,7 +89,7 @@ def windowed_ba(
 
             def step(carry):
                 points, cams, i, _ = carry
-                blocks = compute_blocks(intr, prob, points, cams)
+                blocks = compute_blocks(intr, prob, points, cams, fix_rotations)
                 Vinv, gp, W = schur_point_blocks(blocks, lam, dtype)
                 U, SW, gc, rhs_red = schur_camera_partials(blocks, Vinv, gp, W)
                 U, SW, gc, rhs_red = jax.lax.psum((U, SW, gc, rhs_red), point_axis)
@@ -114,12 +115,43 @@ def windowed_ba(
     return solve(pixels, mask, points0, cams0)
 
 
-def stitch_windows(cam_positions, overlap: int = 1):
+def _umeyama(src, dst, with_scale: bool):
+    """Least-squares similarity (R, s, t) with dst ~= s * R @ src + t
+    (Umeyama 1991). src/dst: (k, 3)."""
+    mu_s = src.mean(axis=0)
+    mu_d = dst.mean(axis=0)
+    sc = src - mu_s
+    dc = dst - mu_d
+    cov = dc.T @ sc / src.shape[0]
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    var_s = (sc * sc).sum() / src.shape[0]
+    s = float((D * np.diag(S)).sum() / var_s) if (with_scale and var_s > 0) else 1.0
+    t = mu_d - s * R @ mu_s
+    return R, s, t
+
+
+def stitch_windows(cam_positions, overlap: int = 1, gauge: str = "auto"):
     """Chain-stitch per-window camera trajectories into one global trajectory.
 
+    Each window's BA fixes its own gauge (window-local frame, first camera at
+    the origin); consecutive windows share ``overlap`` frames, from which the
+    inter-window transform is estimated:
+
+    - ``gauge="translation"``: mean offset of the shared frames only (valid
+      when rotations are pinned per window, e.g. the fix_rotations motion
+      model, and the metric scale is plate-anchored in every window).
+    - ``gauge="similarity"``: full Umeyama rotation+scale+translation fit on
+      the shared frames — needed when per-window BA leaves rotation/scale
+      gauge freedom. Requires overlap >= 3 non-collinear shared frames;
+      degenerate overlaps fall back per-pair to translation.
+    - ``gauge="auto"``: similarity when overlap >= 3, else translation.
+
     Args:
-      cam_positions: (nw, F, 3) per-window positions, window-local frames
-        (each window's first camera at its own origin).
+      cam_positions: (nw, F, 3) per-window positions, window-local frames.
       overlap: number of shared frames between consecutive windows.
 
     Returns:
@@ -127,14 +159,23 @@ def stitch_windows(cam_positions, overlap: int = 1):
     """
     cam_positions = np.asarray(cam_positions)
     nw, F, _ = cam_positions.shape
-    out = [cam_positions[0]]
-    offset = np.zeros(3)
+    use_sim = (gauge == "similarity") or (gauge == "auto" and overlap >= 3)
+    out = [cam_positions[0].copy()]
     for w in range(1, nw):
-        prev = cam_positions[w - 1]
+        prev_g = out[-1][-overlap:] if overlap <= F else out[-1]
         cur = cam_positions[w]
-        # align the overlapping frames in the previous window's frame
-        offset = offset + np.mean(
-            prev[F - overlap :] - cur[:overlap], axis=0
-        )
-        out.append(cur[overlap:] + offset)
+        if use_sim and overlap >= 3:
+            # guard collinear/degenerate overlap (vehicle path is near-linear):
+            # similarity is well-posed only when the shared frames span a plane
+            span = np.linalg.matrix_rank(
+                (cur[:overlap] - cur[:overlap].mean(0)), tol=1e-9
+            )
+            if span >= 2:
+                R, s, t = _umeyama(cur[:overlap], prev_g, with_scale=True)
+            else:
+                R, s, t = np.eye(3), 1.0, (prev_g - cur[:overlap]).mean(axis=0)
+        else:
+            R, s, t = np.eye(3), 1.0, (prev_g - cur[:overlap]).mean(axis=0)
+        mapped = (s * (R @ cur.T)).T + t
+        out.append(mapped[overlap:])
     return np.concatenate(out, axis=0)

@@ -1,0 +1,368 @@
+"""Long-video windowed driver: full-length videos with windowed BA + resume.
+
+The reference processes a handful of frames in one stateless pass
+(/root/reference/vidExample.py:22-23 defaults n=20; the videos hold 201/146/122
+frames). This driver composes the pieces SURVEY.md §5 calls for into an
+end-to-end long-video path:
+
+  1. continuous tracking through the whole video in window-sized scanned
+     segments (the carry — pyramids, tracks, masks, running translation —
+     crosses window boundaries, so the trajectory is globally consistent);
+  2. track replenishment at window boundaries: when survivorship drops, new
+     Harris corners fill dead lanes and are back-projected onto the plane
+     fitted to the live structure (the frame-0 plane backprojection,
+     vidExample.py:119-120, generalized to the current pose);
+  3. checkpoint after every window (parallel/checkpoint.py) so a long run
+     resumes at the last completed window boundary;
+  4. optional per-window Schur BA refinement over a device mesh
+     (parallel/windows.py windowed_ba — window axis x point axis), stitched
+     back into the global trajectory gauge-aware (stitch_windows).
+
+The MSV scale transfer runs once at the configured frame inside the first
+window, exactly like the short-clip runners.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from velocity_tpu.config import PipelineConfig
+from velocity_tpu.parallel.checkpoint import WindowState, save_state, load_state
+from velocity_tpu.pipeline.scan import scan_segment, _PipelinedIngest
+from velocity_tpu.pipeline.tracker import frame_pyramids_jit
+
+
+def _fit_plane(p3, valid):
+    """Least-squares plane n . x = d through the valid structure points."""
+    pts = p3[valid]
+    c = pts.mean(axis=0)
+    u, s, vt = np.linalg.svd(pts - c, full_matrices=False)
+    n = vt[-1]
+    return n, float(n @ c)
+
+
+class LongVideoRunner:
+    """Windowed long-video speed estimation (see module docstring)."""
+
+    def __init__(self, config: PipelineConfig = PipelineConfig()):
+        from velocity_tpu.pipeline.speedest import SpeedEstimator
+
+        self.config = config
+        self._est = SpeedEstimator(config)
+
+    # -------------------------------------------------------------- helpers
+    def _replenish(self, gray, q, pts, vg, p3, t_abs, intr_np):
+        """Refill dead lanes with fresh Harris corners back-projected onto the
+        plane of the live structure; returns updated (pts, vg, p3, n_new)."""
+        cfg = self.config
+        live = vg.sum()
+        if live >= cfg.tracker.max_features // 2:
+            return pts, vg, p3, 0
+        p_new, valid_new, _boxa, _boxb = self._est._init_features(gray, q)
+        n, d = _fit_plane(p3, vg)
+        fx, fy, cx, cy = intr_np
+        dead = ~vg
+        cand = valid_new & dead  # only fill lanes that are both free and found
+        # ray of each candidate pixel in the current camera
+        rx = (p_new[:, 0] - cx) / fx
+        ry = (p_new[:, 1] - cy) / fy
+        rays = np.stack([rx, ry, np.ones_like(rx)], axis=1)
+        rays /= np.linalg.norm(rays, axis=1, keepdims=True)
+        # p = s*ray - t_abs on the plane n.p = d  =>  s = (d + n.t)/(n.ray)
+        denom = rays @ n
+        s = np.where(np.abs(denom) > 1e-9, (d + n @ t_abs) / denom, np.nan)
+        p3_cand = s[:, None] * rays - t_abs[None, :]
+        ok = cand & np.isfinite(p3_cand).all(axis=1) & (s > 0)
+        pts = np.where(ok[:, None], p_new, pts)
+        p3 = np.where(ok[:, None], p3_cand, p3)
+        vg = vg | ok
+        return pts, vg, p3, int(ok.sum())
+
+    # ------------------------------------------------------------------ run
+    def run(
+        self,
+        video: str | Path,
+        annotation=None,
+        n_frames: int | None = None,
+        start_frame: int | None = None,
+        window: int = 24,
+        overlap: int = 3,
+        checkpoint: str | Path | None = None,
+        resume: bool = False,
+        ba_refine: bool = True,
+        mesh=None,
+        verbose: bool = True,
+    ):
+        from velocity_tpu.camera.annotations import (
+            Annotation, load_annotation, find_annotation)
+        from velocity_tpu.ingest.video import VideoReader
+        from velocity_tpu.pipeline import report
+        from velocity_tpu.pipeline.roi import inside_bbox
+        from velocity_tpu.pipeline.speedest import RunResult
+
+        cfg = self.config
+        sdt = jnp.float32
+        t_wall0 = time.time()
+
+        with VideoReader(video, cfg.platform) as vr:
+            cam = vr.info
+            if annotation is None:
+                ann = load_annotation(find_annotation(
+                    video, [Path(video).parent.parent / "matlab",
+                            Path(video).parent]))
+            elif isinstance(annotation, Annotation):
+                ann = annotation
+            else:
+                ann = load_annotation(annotation)
+            scale = cfg.native_scale
+            q = ann.q * scale
+            intr = cam.intrinsics(scale=scale).astype(sdt)
+            intr_np = (float(intr.fx), float(intr.fy), float(intr.cx), float(intr.cy))
+            start = (start_frame if start_frame is not None else
+                     (cfg.start_frame if cfg.start_frame is not None else
+                      (ann.start_frame or 0)))
+            total = int(cam.frame_count) if cam.frame_count else 10**9
+            n = min(n_frames or (total - start), total - start)
+            N = cfg.tracker.max_features
+            msv_i = cfg.msv_frame
+
+            B = np.zeros((n, 14), np.float64)
+            S = np.zeros((n, 9), np.float64)
+            track_px = np.full((n, N, 2), np.nan, np.float32)
+            valid_hist = np.zeros((n, N), bool)
+            key = jax.random.PRNGKey(0)
+            all_keys = jax.random.split(key, n)
+
+            # ---- resume or frame-0 init ----
+            ckpt = Path(checkpoint) if checkpoint else None
+            state = None
+            if resume and ckpt is not None and ckpt.exists():
+                state = load_state(ckpt)
+            if state is not None:
+                i0 = state.frame_index  # boundary frame (absolute row index)
+                p_np = state.points
+                vg_np = state.valid
+                vp_np = state.valid_pose
+                p3_np = state.p3
+                B[: i0 + 1] = state.B
+                S[: i0 + 1] = state.S
+                if state.track_px is not None:
+                    track_px[: i0 + 1] = state.track_px
+                if state.valid_hist is not None:
+                    valid_hist[: i0 + 1] = state.valid_hist
+                valid_hist[i0] = vg_np
+                ingest = _PipelinedIngest(video, vr, start + i0, n - i0,
+                                          cfg.read_speed)
+                base = i0
+                res0 = float(S[0, 3])
+                boxa = boxb = (0, 0, 0, 0)
+            else:
+                ingest = _PipelinedIngest(video, vr, start, n, cfg.read_speed)
+                ingest.wait(0)
+                p_np, valid, boxa, boxb = self._est._init_features(
+                    ingest.grays[0], q)
+                t0_np, p3_np, res0 = self._est._init_geometry(
+                    cam, q, p_np, valid, scale)
+                vg_np = valid.copy()
+                vp_np = valid & inside_bbox(p_np, boxa)
+                B[0, 0:3] = t0_np
+                track_px[0, vg_np] = p_np[vg_np]
+                valid_hist[0] = vg_np
+                base = 0
+
+            pyr_b, spyr_b = frame_pyramids_jit(ingest.wait(0), cfg.tracker)
+            pts_dev = jnp.asarray(p_np, jnp.float32)
+            vg_dev = jnp.asarray(vg_np)
+            vp_dev = jnp.asarray(vp_np)
+            t_dev = jnp.asarray(B[base, 0:3] - B[0, 0:3], sdt)
+            p3_dev = jnp.asarray(p3_np, sdt)
+
+            # ---- window loop (continuous carry) ----
+            i = base  # absolute row index of the carry frame
+            while i < n - 1:
+                # segment ends at the next boundary: window frames, the MSV
+                # frame, or the video end — whichever comes first
+                nexts = [i + window, n - 1]
+                if i < msv_i < n:
+                    nexts.append(msv_i)
+                j = min(x for x in nexts if x > i)
+                frames = jnp.stack(
+                    [ingest.wait(r - base) for r in range(i + 1, j + 1)])
+                carry, outs = scan_segment(
+                    frames, pyr_b, spyr_b, pts_dev, vg_dev, vp_dev, t_dev,
+                    p3_dev, intr, all_keys[i + 1 : j + 1],
+                    cfg.tracker, cfg.solver, sdt,
+                )
+                ptsW, vgW, vpW, tW, resW, _projW, n2W = jax.tree.map(
+                    np.asarray, outs)
+                pyr_b, spyr_b, pts_dev, vg_dev, vp_dev, t_dev = carry
+                for k in range(j - i):
+                    r = i + 1 + k
+                    track_px[r, vgW[k]] = ptsW[k][vgW[k]]
+                    valid_hist[r] = vgW[k]
+                    B[r, 3:6] = tW[k]
+                    B[r, 0:3] = B[0, 0:3] + tW[k]
+                    S[r, 3] = resW[k]
+                i = j
+
+                # ---- MSV scale transfer at the configured frame ----
+                if i == msv_i and n > msv_i:
+                    from velocity_tpu.pipeline.anchor import reanchor
+
+                    for r in range(msv_i + 1):
+                        ingest.wait(max(r - base, 0))
+                    B[: msv_i + 1, 12] = ingest.times[: msv_i + 1 - base]
+                    vg_np = np.asarray(vg_dev)
+                    p3_new, t_track = reanchor(
+                        cfg, cam, scale, track_px[: msv_i + 1], vg_np, B,
+                        np.asarray(t_dev, np.float64), np.array(p3_np),
+                    )
+                    if t_track is not None:
+                        B[: msv_i + 1, 3:6] = t_track
+                        B[: msv_i + 1, 0:3] = B[0, 0:3] + t_track
+                    p3_np = p3_new
+                    p3_dev = jnp.asarray(p3_new, sdt)
+                    vp_dev = vg_dev
+
+                # ---- boundary host work: replenish + checkpoint ----
+                p_np = np.asarray(pts_dev)
+                vg_np = np.asarray(vg_dev)
+                vp_np = np.asarray(vp_dev)
+                if i > msv_i:
+                    p_r, vg_r, p3_r, n_new = self._replenish(
+                        ingest.grays[i - base], q, p_np, vg_np,
+                        np.asarray(p3_dev, np.float64),
+                        B[i, 0:3] - B[0, 0:3], intr_np,
+                    )
+                    if n_new:
+                        if verbose:
+                            print(f"[window @{i}] replenished {n_new} tracks "
+                                  f"({vg_np.sum()} -> {vg_r.sum()})")
+                        p_np, vg_np, p3_np = p_r, vg_r, p3_r
+                        pts_dev = jnp.asarray(p_np, jnp.float32)
+                        vg_dev = jnp.asarray(vg_np)
+                        vp_dev = jnp.asarray(vg_np)
+                        p3_dev = jnp.asarray(p3_np, sdt)
+                        valid_hist[i] = vg_np
+                        track_px[i, vg_np] = p_np[vg_np]
+                if ckpt is not None:
+                    save_state(ckpt, WindowState(
+                        frame_index=i, points=p_np, valid=vg_np,
+                        valid_pose=vp_np, p3=np.asarray(p3_dev, np.float64),
+                        B=B[: i + 1], S=S[: i + 1],
+                        track_px=track_px[: i + 1],
+                        valid_hist=valid_hist[: i + 1],
+                        meta={"video": str(video), "start": str(start)},
+                    ))
+
+            ingest.join()
+            B[base:, 12] = ingest.times
+            B[base:, 13] = ingest.indices
+            first_gray = ingest.grays[0]
+            last_gray = ingest.grays[n - 1 - base]
+
+        # ---- optional per-window BA refinement + gauge-aware stitch ----
+        ba_windows = None
+        if ba_refine and n > msv_i + 2:
+            ba_windows = self._ba_refine(
+                track_px, valid_hist, B, np.asarray(p3_dev, np.float64),
+                intr, window, overlap, mesh, msv_i, verbose)
+
+        # ---- stats table ----
+        wall = time.time() - t_wall0
+        proc = wall / n
+        dist = 0.0
+        S[0, 3] = res0 if state is None else S[0, 3]
+        for r in range(n):
+            dt = B[r, 12] - B[r - 1, 12] if r > 0 else np.nan
+            dr = (float(np.linalg.norm(B[r, 0:3] - B[r - 1, 0:3]))
+                  if r > 0 else 0.0)
+            dist += dr
+            S[r, 0] = r
+            S[r, 1] = proc
+            S[r, 2] = valid_hist[r].sum()
+            S[r, 4] = dt
+            S[r, 5] = B[r, 12] - B[0, 12]
+            S[r, 6] = dr
+            S[r, 7] = dist
+            S[r, 8] = dr / dt * 3.6 if r > 0 and dt > 0 else np.nan
+        if verbose:
+            print(report.header())
+            for r in range(n):
+                print(report.row(S[r]))
+            print(report.summary(S))
+            print(f"Processed {n:g} images in {wall:.2f}s ({n / wall:.2f}fps)\n")
+
+        from velocity_tpu.pipeline.speedest import RunResult
+
+        res = RunResult(
+            S=S, B=B, track_px=track_px, proj_px=np.full_like(track_px, np.nan),
+            valid=valid_hist, plate_box=boxa, roi_box=boxb, camera=cam,
+            config=cfg, first_gray=first_gray, last_gray=last_gray,
+            timings={"wall_s": wall, "fps": n / wall,
+                     "windows": int(np.ceil((n - 1) / max(window - overlap, 1))),
+                     "ba_refined": bool(ba_refine and ba_windows is not None)},
+        )
+        return res
+
+    # ------------------------------------------------------ BA refinement
+    def _ba_refine(self, track_px, valid_hist, B, p3, intr, window, overlap,
+                   mesh, msv_i, verbose):
+        """Per-window Schur BA over the mesh, stitched back into B."""
+        from velocity_tpu.config import BAConfig
+        from velocity_tpu.parallel.windows import (
+            split_windows, windowed_ba, stitch_windows)
+        from velocity_tpu.solvers.ba import BAProblem  # noqa: F401 (doc link)
+
+        n, N, _ = track_px.shape
+        # windows over the post-MSV trajectory (scale is anchored by then)
+        bounds = split_windows(n, window, overlap)
+        nw = len(bounds)
+        nc = max(e - s for s, e in bounds)
+        pix = np.zeros((nw, nc, N, 2), np.float32)
+        msk = np.zeros((nw, nc, N), bool)
+        pts0 = np.zeros((nw, N, 3), np.float32)
+        cams0 = np.zeros((nw, nc, 6), np.float32)
+        t_abs = B[:, 0:3] - B[0, 0:3]
+        for w, (s, e) in enumerate(bounds):
+            k = e - s
+            m = valid_hist[s:e] & np.isfinite(track_px[s:e]).all(axis=2)
+            msk[w, :k] = m
+            pix[w, :k] = np.where(m[..., None], track_px[s:e], 0.0)
+            cams0[w, :k, 0:3] = t_abs[s:e] - t_abs[s]
+            # pad rows (short last window) repeat the final camera, masked off
+            for r in range(k, nc):
+                cams0[w, r] = cams0[w, k - 1]
+            pts0[w] = p3 + t_abs[s]
+            dead = ~m.any(axis=0)
+            pts0[w][dead] = np.array([0.0, 0.0, 8.0], np.float32)
+        # tracks need >= 2 observations in a window to constrain anything;
+        # mask the rest off entirely (damping keeps their updates at zero)
+        seen = msk.sum(axis=1) < 2
+        msk[np.broadcast_to(seen[:, None, :], msk.shape)] = False
+
+        cfgba = BAConfig(max_iters=6)
+        if mesh is None:
+            from velocity_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh({"window": 1, "point": 1},
+                             devices=np.array(jax.devices()[:1]).reshape(1, 1))
+        ptsR, camsR, iters = windowed_ba(
+            jnp.asarray(pix), jnp.asarray(msk), jnp.asarray(pts0),
+            jnp.asarray(cams0), intr, mesh, config=cfgba, fix_rotations=True,
+        )
+        camsR = np.asarray(camsR)
+        # gauge-aware stitch of the refined window trajectories
+        pos = camsR[:, :, 0:3]
+        stitched = stitch_windows(pos, overlap=overlap, gauge="auto")[:n]
+        B[:, 0:3] = B[0, 0:3] + stitched
+        B[:, 3:6] = stitched
+        if verbose:
+            print(f"[ba] refined {nw} windows "
+                  f"(iters {np.asarray(iters).ravel().tolist()})")
+        return nw

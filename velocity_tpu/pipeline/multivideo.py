@@ -172,7 +172,7 @@ def run_batch(
             jnp.asarray(vg_msv), t_msv, jnp.asarray(p3_B, sdt), intr_stack,
             keys[:, msv_i + 1 :],
         )
-        ptsB, vgB, vpB, tB, resB, _pprojB, _n2B = jax.tree.map(np.asarray, outB)
+        ptsB, vgB, vpB, tB, resB, _pprojB, n2B = jax.tree.map(np.asarray, outB)
         for v in range(V):
             for j in range(tB.shape[1]):
                 i = msv_i + 1 + j
@@ -183,12 +183,32 @@ def run_batch(
                 B_all[v, i, 0:3] = B_all[v, 0, 0:3] + tB[v, j]
     else:
         resB = np.zeros((V, 0))
+        n2B = np.zeros((V, 0))
+
+    # ---- feature-match rescue (reference KLT.py:126-130): a lane whose
+    # stage-2 survivor count collapsed anywhere gets re-run through the
+    # per-frame driver, which carries the full host feature-match fallback.
+    n2_all = np.concatenate([n2A.reshape(V, -1), n2B.reshape(V, -1)], axis=1)
+    rescue = (n2_all <= cfg.tracker.min_affine_inliers).any(axis=1) if n2_all.size else np.zeros(V, bool)
 
     # ---- per-video tables ----
     # batched scan = one dispatch for all lanes; attribute wall time uniformly
     # (reference procTime contract: vidExample.py:162-165)
     proc = (_time.time() - t_wall0) / max(n * V, 1)
     for v in range(V):
+        if rescue[v]:
+            res_v = est.run(
+                videos[v],
+                annotation=(annotations[v] if annotations else None),
+                n_frames=n,
+                start_frame=(start_frames[v] if start_frames else None),
+                verbose=False, collect_images=False,
+            )
+            if verbose:
+                print(f"== {cams[v].filename}: rescued per-frame; "
+                      f"{res_v.speed_kmh:.2f} +/- {res_v.speed_std:.2f} km/h")
+            results.append(res_v)
+            continue
         S = np.zeros((n, 9))
         res_all = np.concatenate([[inits[v]["res0"]], resA[v], resB[v]])
         dist = 0.0

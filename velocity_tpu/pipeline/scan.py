@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from velocity_tpu.config import PipelineConfig
-from velocity_tpu.pipeline.tracker import frame_pyramids, fused_frame_step_pyr
+from velocity_tpu.pipeline.tracker import frame_pyramids_jit, fused_frame_step_pyr
 
 
 @partial(jax.jit, static_argnames=("cfg", "solver_cfg", "solver_dtype", "lean"))
@@ -96,13 +96,39 @@ def _decode_stack(video, vr, start, n, step, to_device: bool = False):
     return grays, times, indices, dev
 
 
+@jax.jit
+def _pack_big(pts, pproj, vg, vp):
+    """(k, N, 6) single-fetch packing of the per-point segment outputs."""
+    f32 = pts.dtype
+    return jnp.concatenate(
+        [pts, pproj, vg[..., None].astype(f32), vp[..., None].astype(f32)],
+        axis=-1,
+    )
+
+
+@jax.jit
+def _pack_small(t, res, n2):
+    """(k, 5) single-fetch packing of the per-frame scalar outputs."""
+    return jnp.concatenate(
+        [t.astype(jnp.float32), res[:, None].astype(jnp.float32),
+         n2[:, None].astype(jnp.float32)], axis=-1,
+    )
+
+
 class _PipelinedIngest:
     """Decode + upload pipeline: a decoder thread feeds an uploader thread
     that enqueues one async ``device_put`` per frame, so H2D transfer (the
     tunnel runs ~17 ms per 1080p frame) overlaps both decode and device
-    compute. ``wait(i)`` blocks until frame i is on device."""
+    compute. ``wait(i)`` blocks until frame i is on device.
 
-    def __init__(self, video, vr, start: int, n: int, step: int):
+    ``gate_after``: uploads of frames with index > gate_after pause until
+    ``release()`` — the tunnel is one queue, so bulk uploads ahead of a
+    latency-critical fetch (segment-A results feeding the MSV anchor) would
+    stall it. Decode continues regardless; only uploads are held.
+    """
+
+    def __init__(self, video, vr, start: int, n: int, step: int,
+                 gate_after: int | None = None):
         import threading
 
         self.n = n
@@ -112,6 +138,10 @@ class _PipelinedIngest:
         self.indices = np.zeros(n, np.int64)
         self._ready = [threading.Event() for _ in range(n)]
         self._err = None
+        self._gate_after = gate_after if gate_after is not None else n
+        self._gate = threading.Event()
+        if gate_after is None:
+            self._gate.set()
         q: "list" = []
         q_lock = threading.Condition()
 
@@ -152,6 +182,8 @@ class _PipelinedIngest:
                     for ev in self._ready:
                         ev.set()  # unblock waiters (missing frames -> None)
                     return
+                if j > self._gate_after:
+                    self._gate.wait()
                 self.dev[j] = jax.device_put(self.grays[j])
                 self._ready[j].set()
 
@@ -162,7 +194,13 @@ class _PipelinedIngest:
         for t in self._threads:
             t.start()
 
+    def release(self):
+        """Open the upload gate (see ``gate_after``)."""
+        self._gate.set()
+
     def wait(self, i: int):
+        if i > self._gate_after:
+            self._gate.set()  # a waiter past the gate implies it must open
         self._ready[i].wait()
         if self._err is not None:
             raise self._err
@@ -220,21 +258,28 @@ class ScanSpeedRunner:
             start = (start_frame if start_frame is not None else
                      (cfg.start_frame if cfg.start_frame is not None else ann.start_frame))
 
-            # ---- pipelined decode -> upload (overlaps device compute) ----
-            ingest = _PipelinedIngest(video, vr, start, n, cfg.read_speed)
+            # ---- pipelined decode -> upload (overlaps device compute);
+            # frames past the MSV boundary upload only after segment A's
+            # results are fetched (single tunnel queue — see _PipelinedIngest)
+            marks = {}
+            ingest = _PipelinedIngest(video, vr, start, n, cfg.read_speed,
+                                      gate_after=cfg.msv_frame)
 
             msv_i = cfg.msv_frame
             seg_a = min(msv_i, n - 1)
 
             # ---- frame-0 init (host f64) while later frames stream in ----
             ingest.wait(0)
+            marks["decode0_s"] = _time.time() - t_wall0
             p, valid, boxa, boxb = self._est._init_features(ingest.grays[0], q)
+            marks["init_features_s"] = _time.time() - t_wall0
             t0_np, p3_np, res0 = self._est._init_geometry(cam, q, p, valid, scale)
+            marks["init_geometry_s"] = _time.time() - t_wall0
             N = cfg.tracker.max_features
             vg0 = valid.copy()
             vp0 = valid & inside_bbox(p, boxa)
 
-            pyr0, spyr0 = frame_pyramids(ingest.wait(0), cfg.tracker)
+            pyr0, spyr0 = frame_pyramids_jit(ingest.wait(0), cfg.tracker)
             pts0 = jnp.asarray(p, jnp.float32)
             p3 = jnp.asarray(p3_np, sdt)
 
@@ -243,15 +288,25 @@ class ScanSpeedRunner:
 
             # ---- segment A: frames 1..msv ----
             framesA = jnp.stack([ingest.wait(j) for j in range(1, seg_a + 1)])
+            marks["framesA_ready_s"] = _time.time() - t_wall0
             carryA, outA = scan_segment(
                 framesA, pyr0, spyr0, pts0,
                 jnp.asarray(vg0), jnp.asarray(vp0),
                 jnp.asarray(t0_np, sdt), p3, intr,
                 all_keys[1 : seg_a + 1], cfg.tracker, cfg.solver, sdt,
             )
-            # fetch A while the ingest threads stream frames msv+1..n-1
-            ptsA, vgA, vpA, tA, resA, pprojA, n2A = jax.tree.map(np.asarray, outA)
+            # fetch A as TWO packed transfers (the tunnel D2H pays ~30 ms
+            # latency per array; seven sequential fetches would pay it seven
+            # times), then open the upload gate for the post-MSV frames
+            ptsA_d, vgA_d, vpA_d, tA_d, resA_d, pprojA_d, n2A_d = outA
+            bigA = np.asarray(_pack_big(ptsA_d, pprojA_d, vgA_d, vpA_d))
+            smallA = np.asarray(_pack_small(tA_d, resA_d, n2A_d))
+            ingest.release()
+            ptsA, pprojA = bigA[..., 0:2], bigA[..., 2:4]
+            vgA, vpA = bigA[..., 4] > 0.5, bigA[..., 5] > 0.5
+            tA, resA, n2A = smallA[:, 0:3], smallA[:, 3], smallA[:, 4]
             t_init_done = _time.time()
+            marks["segA_done_s"] = t_init_done - t_wall0
 
             # ---- host MSV re-anchor (f64), then segment B ----
             track_px = np.full((n, N, 2), np.nan, np.float32)
@@ -297,15 +352,19 @@ class ScanSpeedRunner:
                     lean=lean,
                 )
                 if lean:
-                    packedB = np.asarray(outB, np.float64)  # (k, 8)
+                    packedB = np.asarray(outB, np.float64)  # (k, 6)
                     tB = packedB[:, 0:3]
                     resB = packedB[:, 3]
                     ntB = packedB[:, 4]
                     n2B = packedB[:, 5]
                     ptsB = vgB = vpB_o = pprojB = None
                 else:
-                    ptsB, vgB, vpB_o, tB, resB, pprojB, n2B = jax.tree.map(
-                        np.asarray, outB)
+                    ptsB_d, vgB_d, vpB_d, tB_d, resB_d, pprojB_d, n2B_d = outB
+                    bigB = np.asarray(_pack_big(ptsB_d, pprojB_d, vgB_d, vpB_d))
+                    smallB = np.asarray(_pack_small(tB_d, resB_d, n2B_d))
+                    ptsB, pprojB = bigB[..., 0:2], bigB[..., 2:4]
+                    vgB, vpB_o = bigB[..., 4] > 0.5, bigB[..., 5] > 0.5
+                    tB, resB, n2B = smallB[:, 0:3], smallB[:, 3], smallB[:, 4]
                     ntB = None
             else:
                 tB = np.zeros((0, 3)); resB = np.zeros(0)
@@ -317,6 +376,19 @@ class ScanSpeedRunner:
             B[:, 12] = ingest.times
             B[:, 13] = ingest.indices
         grays0, graysL = ingest.grays[0], ingest.grays[-1]
+
+        # ---- feature-match rescue (reference SURF fallback, KLT.py:126-130):
+        # the scanned graph cannot branch to a host feature matcher, so
+        # tracking collapse (stage-2 survivors <= min_affine_inliers at any
+        # frame) is detected post-hoc here and the whole clip is re-run
+        # through the per-frame driver, whose step carries the full rescue.
+        n2_all = np.concatenate([np.asarray(n2A).ravel(), np.asarray(n2B).ravel()])
+        if n2_all.size and n2_all.min() <= cfg.tracker.min_affine_inliers:
+            return self._est.run(
+                video, annotation=annotation, n_frames=n_frames,
+                start_frame=start_frame, verbose=verbose,
+                collect_images=False, lean=lean,
+            )
 
         # ---- assemble the table ----
         proj_px = np.full((n, N, 2), np.nan, np.float32)
@@ -363,5 +435,5 @@ class ScanSpeedRunner:
             plate_box=boxa, roi_box=boxb, camera=cam, config=cfg,
             first_gray=grays0, last_gray=graysL,
             timings={"wall_s": wall, "fps": n / wall,
-                     "init_and_segA_s": t_init_done - t_wall0},
+                     "init_and_segA_s": t_init_done - t_wall0, **marks},
         )

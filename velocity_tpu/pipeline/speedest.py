@@ -300,7 +300,7 @@ class SpeedEstimator:
                     pts_dev = jnp.asarray(p, jnp.float32)
                     vg_dev = jnp.asarray(vg)
                     vp_dev = jnp.asarray(vp)
-                    pyr_prev, spyr_prev = frame_pyramids(im_dev, cfg.tracker)
+                    pyr_prev, spyr_prev = frame_pyramids_jit(im_dev, cfg.tracker)
                     dt = np.nan
                     dr = 0.0
                     dist = 0.0

@@ -22,7 +22,7 @@ from velocity_tpu.ingest.stills import StillsReader
 from velocity_tpu.pipeline import report
 from velocity_tpu.pipeline.roi import inside_bbox
 from velocity_tpu.pipeline.speedest import SpeedEstimator, RunResult
-from velocity_tpu.pipeline.tracker import fused_frame_step
+from velocity_tpu.pipeline.tracker import frame_pyramids_jit
 from velocity_tpu.solvers.triangulate import msv_refine_translation
 
 
@@ -94,8 +94,7 @@ class StillsSpeedEstimator(SpeedEstimator):
                 pts_dev = jnp.asarray(p, jnp.float32)
                 vg_dev = jnp.asarray(vg)
                 vp_dev = jnp.asarray(vp)
-                small_prev = self.tracker.initial_small(im_dev)
-                im_prev = im_dev
+                pyr_prev, spyr_prev = frame_pyramids_jit(im_dev, cfg.tracker)
                 dt = np.nan
                 dr = 0.0
                 dist = 0.0
@@ -104,13 +103,13 @@ class StillsSpeedEstimator(SpeedEstimator):
             else:
                 key, kf = jax.random.split(key)
                 (
-                    pts_dev, vg_dev, vp_dev, small_prev,
+                    pyr_prev, spyr_prev,
+                    pts_dev, vg_dev, vp_dev,
                     t, residuals, pproj_dev, n2, _T23, _packed,
                 ) = self._frame_step_with_fallback(
-                    im_prev, im_dev, small_prev, pts_dev, vg_dev, vp_dev,
-                    p3, intr, kf, sdt, prev_gray, gray,
+                    pyr_prev, spyr_prev, im_dev, pts_dev, vg_dev, vp_dev,
+                    p3, intr, kf, sdt, prev_gray, gray, t,
                 )
-                im_prev = im_dev
                 vg = np.asarray(vg_dev)
                 vp = np.asarray(vp_dev)
                 p_proj_frame = np.asarray(pproj_dev)
@@ -160,7 +159,7 @@ class StillsSpeedEstimator(SpeedEstimator):
 
         wall = time.time() - t_wall0
         if georegister and np.any(B[:, 9] != 0):
-            georegister_track(B)
+            georegister_track(B, yaw_deg=reader.yaw_deg(0))
         if verbose:
             print(report.summary(S))
             print(f"Processed {n:g} images in {wall:.2f}s ({n / wall:.2f}fps)\n")
@@ -173,20 +172,35 @@ class StillsSpeedEstimator(SpeedEstimator):
         )
 
 
-def georegister_track(B: np.ndarray) -> None:
-    """Fill B's ECEF/NED/LLA columns from the GPS fixes + SfM track (in place).
+def georegister_track(B: np.ndarray, yaw_deg: float | None = None):
+    """Georegister the SfM track to Earth coordinates (in place).
 
-    Layout parity with the reference's matrices (runExample.m:156-159):
-    camera GPS lla in B[:, 9:12] -> camera ECEF -> NED about image 0; the SfM
-    car track B[:, 0:3] (camera frame) is exported to ECEF (B[:, 6:9]) and LLA
-    (B[:, 9:12] stays the GPS input; the car LLA overwrites nothing).
+    Parity with the MATLAB driver (matlab/runExample.m:49-50, 156-159):
+      * camera GPS LLA fixes (B[:, 9:12]) -> ECEF -> NED about image 0;
+      * true-north camera heading from EXIF GPSImgDirection + magnetic
+        declination (2.56 deg, runExample.m:49-50) rotates the camera frame
+        into NED (camera axes map to NED by the cam2ned permutation when the
+        camera faces north, common.py:159);
+      * the SfM car track B[:, 0:3] (camera-0 frame, metric) is rotated into
+        NED, hung off image 0's fix, and exported as ECEF (B[:, 6:9]) and LLA
+        (B[:, 9:12], replacing the raw GPS input, which is consumed here).
+
+    Returns (cam_ned, car_ned): the cameras' GPS track and the car's SfM
+    track, both in the image-0 NED frame — the quantities the MATLAB driver
+    plots.
     """
     origin = B[0, 9:12].copy()
     cam_ecef = lla_to_ecef(B[:, 9:12])
     cam_ned = ecef_to_ned(cam_ecef, origin)
-    # car track: camera-frame translations hung off the first camera's fix
-    car_ecef = ned_to_ecef(B[:, 0:3] @ np.eye(3), origin)  # camera frame ~ NED proxy
+
+    # camera frame -> NED: cam2ned permutation (N=z_cam, E=x_cam, D=y_cam)
+    # then heading rotation about Down by the true-north yaw
+    perm = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    psi = np.deg2rad(yaw_deg) if yaw_deg is not None else 0.0
+    c, s = np.cos(psi), np.sin(psi)
+    R_yaw = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    car_ned = (R_yaw @ perm @ B[:, 0:3].T).T  # relative to camera 0
+    car_ecef = ned_to_ecef(car_ned, origin)
     B[:, 6:9] = car_ecef
-    # keep the camera NED handy in unused columns? the reference stores camera
-    # ned in A (its camera matrix); we return it via the ecef/lla of the car.
-    _ = cam_ned, ecef_to_lla(car_ecef)
+    B[:, 9:12] = ecef_to_lla(car_ecef)
+    return cam_ned, car_ned

@@ -56,6 +56,12 @@ def frame_pyramids(im, cfg: TrackerConfig, dtype=jnp.float32):
     return full, small
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def frame_pyramids_jit(im, cfg: TrackerConfig):
+    """One-dispatch form of ``frame_pyramids`` for eager (non-scan) callers."""
+    return frame_pyramids(im, cfg)
+
+
 class TrackOutput(NamedTuple):
     points: jnp.ndarray  # (N, 2) tracked positions (valid lanes only meaningful)
     valid: jnp.ndarray  # (N,) bool: input valid & stage-3 survival
