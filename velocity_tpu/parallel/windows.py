@@ -55,9 +55,16 @@ def windowed_ba(
     point_axis: str = "point",
     config: BAConfig = BAConfig(),
     fix_rotations: bool = False,
+    pin_tracks: int = 0,
 ):
     """Batched per-window Schur BA: windows sharded over ``window_axis``,
     each window's tracks sharded over ``point_axis``.
+
+    ``pin_tracks``: hold the first k tracks' structure fixed (their point
+    Jacobians zero). Monocular BA has a scale gauge — points and cameras can
+    shrink/grow jointly without changing any reprojection — so refinement
+    must pin the metric anchor: the plate-corner tracks (lanes 0..3 by
+    construction) whose geometry carries the plate's known size.
 
     Returns (points (nw, nt, 3), cams (nw, nc, 6), iterations (nw,)).
     """
@@ -90,6 +97,15 @@ def windowed_ba(
             def step(carry):
                 points, cams, i, _ = carry
                 blocks = compute_blocks(intr, prob, points, cams, fix_rotations)
+                if pin_tracks > 0:
+                    # zero the pinned lanes' point Jacobians -> gp = 0 there
+                    # -> their structure (the metric scale anchor) never moves.
+                    # NOTE: sharded tracks — the pinned lanes live on shard 0;
+                    # use a global-lane mask so any shard layout works.
+                    lane0 = jax.lax.axis_index(point_axis) * pix.shape[1]
+                    lane = lane0 + jnp.arange(pix.shape[1])
+                    pinned = (lane < pin_tracks)[None, :, None, None]
+                    blocks = blocks._replace(A=jnp.where(pinned, 0.0, blocks.A))
                 Vinv, gp, W = schur_point_blocks(blocks, lam, dtype)
                 U, SW, gc, rhs_red = schur_camera_partials(blocks, Vinv, gp, W)
                 U, SW, gc, rhs_red = jax.lax.psum((U, SW, gc, rhs_red), point_axis)

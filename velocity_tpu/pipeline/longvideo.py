@@ -355,14 +355,41 @@ class LongVideoRunner:
         ptsR, camsR, iters = windowed_ba(
             jnp.asarray(pix), jnp.asarray(msk), jnp.asarray(pts0),
             jnp.asarray(cams0), intr, mesh, config=cfgba, fix_rotations=True,
+            pin_tracks=4,  # plate corners = the metric scale anchor
         )
         camsR = np.asarray(camsR)
-        # gauge-aware stitch of the refined window trajectories
+        ptsR = np.asarray(ptsR)
+
+        # acceptance guard: keep each window's refinement only if it reduces
+        # the masked reprojection rms — refinement must be strictly
+        # non-harmful to the tracked trajectory
+        fx, fy = float(intr.fx), float(intr.fy)
+        cx, cy = float(intr.cx), float(intr.cy)
+
+        def _rms(w, pts_w, cams_w):
+            pc = pts_w[None, :, :] + cams_w[:, None, 0:3]
+            u = fx * pc[..., 0] / pc[..., 2] + cx
+            v = fy * pc[..., 1] / pc[..., 2] + cy
+            err = np.stack([u, v], -1) - pix[w]
+            err = np.where(msk[w][..., None], err, 0.0)
+            return float(np.sqrt((err ** 2).sum() / max(2 * msk[w].sum(), 1)))
+
+        accepted = 0
+        for w in range(nw):
+            before = _rms(w, pts0[w], cams0[w])
+            after = _rms(w, ptsR[w], camsR[w])
+            if not np.isfinite(after) or after >= before:
+                camsR[w] = cams0[w]  # reject: keep the tracked trajectory
+            else:
+                accepted += 1
+
+        # rotations and scale are pinned per window (fix_rotations +
+        # pin_tracks), so the inter-window gauge is translation-only
         pos = camsR[:, :, 0:3]
-        stitched = stitch_windows(pos, overlap=overlap, gauge="auto")[:n]
+        stitched = stitch_windows(pos, overlap=overlap, gauge="translation")[:n]
         B[:, 0:3] = B[0, 0:3] + stitched
         B[:, 3:6] = stitched
         if verbose:
-            print(f"[ba] refined {nw} windows "
+            print(f"[ba] refined {nw} windows, accepted {accepted} "
                   f"(iters {np.asarray(iters).ravel().tolist()})")
         return nw
