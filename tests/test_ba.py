@@ -162,3 +162,17 @@ class TestConstrainedBA:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestCGCameraSolver:
+    def test_cg_matches_dense(self):
+        from velocity_tpu.config import BAConfig
+
+        prob, _, _ = perturbed_problem(noise_px=0.3, nc=8, nt=48)
+        dense = ba_schur(prob, BAConfig(max_iters=6))
+        cgres = ba_schur(prob, BAConfig(max_iters=6, camera_solver="cg",
+                                        cg_tol=1e-12, cg_max_iters=200))
+        np.testing.assert_allclose(
+            np.asarray(cgres.cams), np.asarray(dense.cams), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(cgres.points), np.asarray(dense.points), atol=1e-6)

@@ -73,6 +73,10 @@ class BAConfig:
     tol: float = 1e-7
     step_scale: float = 0.9
     schur: bool = True  # use block-sparse Schur complement reduction
+    # reduced-camera-system solver: "dense" (factorize) or "cg"
+    # (Jacobi-preconditioned conjugate gradients, for long windows where the
+    # O((6nc)^3) dense solve overtakes O(iters (6nc)^2) matvecs)
+    camera_solver: str = "dense"
     cg_tol: float = 1e-10
     cg_max_iters: int = 100
 

@@ -83,7 +83,12 @@ def ba_schur_sharded(
             U, SW, gc, rhs_red = schur_camera_partials(blocks, Vinv, gp, W)
             # the only communication: reduce the camera system over the mesh
             U, SW, gc, rhs_red = jax.lax.psum((U, SW, gc, rhs_red), axis)
-            dc_raw = schur_assemble_solve(U, SW, gc, rhs_red, lam, dtype)
+            dc_raw = schur_assemble_solve(
+                U, SW, gc, rhs_red, lam, dtype,
+                cg_tol=config.cg_tol,
+                cg_max_iters=(config.cg_max_iters
+                              if config.camera_solver == "cg" else 0),
+            )
             dp = schur_backsub(Vinv, gp, W, dc_raw) * config.step_scale
             dcams = dc_raw.reshape(nc, 6) * config.step_scale
             # convergence metric matches single-device ba_schur (global rms)

@@ -109,7 +109,12 @@ def windowed_ba(
                 Vinv, gp, W = schur_point_blocks(blocks, lam, dtype)
                 U, SW, gc, rhs_red = schur_camera_partials(blocks, Vinv, gp, W)
                 U, SW, gc, rhs_red = jax.lax.psum((U, SW, gc, rhs_red), point_axis)
-                dc_raw = schur_assemble_solve(U, SW, gc, rhs_red, lam, dtype)
+                dc_raw = schur_assemble_solve(
+                    U, SW, gc, rhs_red, lam, dtype,
+                    cg_tol=config.cg_tol,
+                    cg_max_iters=(config.cg_max_iters
+                                  if config.camera_solver == "cg" else 0),
+                )
                 dp = schur_backsub(Vinv, gp, W, dc_raw) * config.step_scale
                 dcams = dc_raw.reshape(nc, 6) * config.step_scale
                 sum_dp = jax.lax.psum(jnp.sum(dp * dp), point_axis)

@@ -117,8 +117,16 @@ def schur_camera_partials(blocks: BABlocks, Vinv, gp, W):
     return U, SW, gc, rhs_red
 
 
-def schur_assemble_solve(U, SW, gc, rhs_red, damping: float, dtype):
-    """Assemble the reduced camera system, pin camera 0, solve for dc (nc*6,)."""
+def schur_assemble_solve(U, SW, gc, rhs_red, damping: float, dtype,
+                         cg_tol: float = 0.0, cg_max_iters: int = 0):
+    """Assemble the reduced camera system, pin camera 0, solve for dc (nc*6,).
+
+    ``cg_max_iters > 0`` solves by Jacobi-preconditioned conjugate gradients
+    instead of the dense factorization — the reduced camera matrix is SPD
+    (damped GN), and for long windows the O((6 nc)^3) dense solve overtakes
+    the O(iters (6 nc)^2) CG (SURVEY.md §7.3 item 5: "CG fallback when camera
+    count grows").
+    """
     nc = U.shape[0]
     lam = jnp.asarray(damping, dtype)
     eye6 = jnp.eye(6, dtype=dtype)
@@ -132,7 +140,16 @@ def schur_assemble_solve(U, SW, gc, rhs_red, damping: float, dtype):
     rhs_c = rhs_c * free[:, None]
 
     S = S_blocks.transpose(0, 2, 1, 3).reshape(nc * 6, nc * 6)
-    return jnp.linalg.solve(S, rhs_c.reshape(nc * 6))
+    b = rhs_c.reshape(nc * 6)
+    if cg_max_iters > 0:
+        from jax.scipy.sparse.linalg import cg
+
+        d = jnp.diagonal(S)
+        Minv = jnp.where(jnp.abs(d) > 0, 1.0 / d, 1.0)
+        x, _ = cg(lambda v: S @ v, b, tol=cg_tol, maxiter=cg_max_iters,
+                  M=lambda v: Minv * v)
+        return x
+    return jnp.linalg.solve(S, b)
 
 
 def schur_reduce(blocks: BABlocks, damping: float, dtype):
@@ -176,11 +193,21 @@ def ba_schur(
     lam = config.damping * inv_f * inv_f  # damping matched to normalized residuals
     tol = max(config.tol, 50.0 * float(jnp.finfo(dtype).eps))
 
+    use_cg = config.camera_solver == "cg"
+
     def step(carry):
         points, cams, i, _ = carry
         blocks = compute_blocks(intr, problem, points, cams, fix_rotations)
         S, rhs, Vinv, gp, W = schur_reduce(blocks, lam, dtype)
-        dc_raw = jnp.linalg.solve(S, rhs)
+        if use_cg:
+            from jax.scipy.sparse.linalg import cg
+
+            d = jnp.diagonal(S)
+            Minv = jnp.where(jnp.abs(d) > 0, 1.0 / d, 1.0)
+            dc_raw, _ = cg(lambda v: S @ v, rhs, tol=config.cg_tol,
+                           maxiter=config.cg_max_iters, M=lambda v: Minv * v)
+        else:
+            dc_raw = jnp.linalg.solve(S, rhs)
         dp = schur_backsub(Vinv, gp, W, dc_raw) * config.step_scale
         dcams = dc_raw.reshape(nc, 6) * config.step_scale
         new_points = points + dp
