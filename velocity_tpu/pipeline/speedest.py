@@ -35,7 +35,7 @@ from velocity_tpu.pipeline import report
 from velocity_tpu.pipeline.roi import bounding_rect, inside_bbox
 from velocity_tpu.pipeline.tracker import (
     ThreeStageTracker,
-    frame_pyramids,
+    frame_pyramids_jit,
     fused_frame_step,
     fused_frame_step_pyr,
 )
