@@ -357,8 +357,8 @@ class LongVideoRunner:
             jnp.asarray(cams0), intr, mesh, config=cfgba, fix_rotations=True,
             pin_tracks=4,  # plate corners = the metric scale anchor
         )
-        camsR = np.asarray(camsR)
-        ptsR = np.asarray(ptsR)
+        camsR = np.array(camsR)  # writable copies (np.asarray of a jax.Array
+        ptsR = np.array(ptsR)    # is a read-only view)
 
         # acceptance guard: keep each window's refinement only if it reduces
         # the masked reprojection rms — refinement must be strictly
