@@ -62,6 +62,14 @@ class SolverConfig:
     tol: float = 1e-8  # rms(delta) convergence
     ramp_rate: float = 0.2  # step scale = min(((i+1)*ramp_rate)^2, 1)
     dtype: str = "float64"  # solver island dtype ("float32" on TPU-only paths)
+    # robust second pass of the translation solve: when the first pass ends
+    # with rms residual above `pose_reject_above_px`, points whose residual
+    # exceeds `pose_reject_sigma * rms` are masked and the solve repeats from
+    # the first solution. Below the gate the second pass re-solves with the
+    # full mask from the optimum — a numerical no-op — so well-conditioned
+    # clips (the goldens) are untouched. 0 disables.
+    pose_reject_sigma: float = 3.0
+    pose_reject_above_px: float = 2.0
 
 
 @dataclass(frozen=True)

@@ -183,6 +183,11 @@ class LongVideoRunner:
             p3_dev = jnp.asarray(p3_np, sdt)
 
             # ---- window loop (continuous carry) ----
+            ba_meta = []  # (seg_start, seg_end, p3 snapshot) per segment —
+            # snapshots are taken AFTER the MSV re-anchor but BEFORE
+            # replenishment, so each window's structure matches the content
+            # its pixel rows actually tracked (replenished lanes only change
+            # identity at boundaries, after the snapshot)
             i = base  # absolute row index of the carry frame
             while i < n - 1:
                 # segment ends at the next boundary: window frames, the MSV
@@ -208,6 +213,7 @@ class LongVideoRunner:
                     B[r, 3:6] = tW[k]
                     B[r, 0:3] = B[0, 0:3] + tW[k]
                     S[r, 3] = resW[k]
+                seg_start = i
                 i = j
 
                 # ---- MSV scale transfer at the configured frame ----
@@ -229,7 +235,8 @@ class LongVideoRunner:
                     p3_dev = jnp.asarray(p3_new, sdt)
                     vp_dev = vg_dev
 
-                # ---- boundary host work: replenish + checkpoint ----
+                # ---- boundary host work: snapshot + replenish + checkpoint
+                ba_meta.append((seg_start, i, np.array(p3_dev, np.float64)))
                 p_np = np.asarray(pts_dev)
                 vg_np = np.asarray(vg_dev)
                 vp_np = np.asarray(vp_dev)
@@ -266,12 +273,11 @@ class LongVideoRunner:
             first_gray = ingest.grays[0]
             last_gray = ingest.grays[n - 1 - base]
 
-        # ---- optional per-window BA refinement + gauge-aware stitch ----
+        # ---- optional per-window BA refinement + stitch ----
         ba_windows = None
-        if ba_refine and n > msv_i + 2:
+        if ba_refine and n > msv_i + 2 and len(ba_meta) > 0:
             ba_windows = self._ba_refine(
-                track_px, valid_hist, B, np.asarray(p3_dev, np.float64),
-                intr, window, overlap, mesh, msv_i, verbose)
+                track_px, valid_hist, B, ba_meta, intr, mesh, verbose)
 
         # ---- stats table ----
         wall = time.time() - t_wall0
@@ -311,34 +317,39 @@ class LongVideoRunner:
         return res
 
     # ------------------------------------------------------ BA refinement
-    def _ba_refine(self, track_px, valid_hist, B, p3, intr, window, overlap,
-                   mesh, msv_i, verbose):
-        """Per-window Schur BA over the mesh, stitched back into B."""
+    def _ba_refine(self, track_px, valid_hist, B, ba_meta, intr, mesh,
+                   verbose):
+        """Per-window Schur BA over the mesh, stitched back into B.
+
+        Windows are the tracking segments (consecutive segments share their
+        boundary frame -> overlap 1); each uses its own structure snapshot so
+        replenished lanes never mix identities across windows.
+        """
         from velocity_tpu.config import BAConfig
-        from velocity_tpu.parallel.windows import (
-            split_windows, windowed_ba, stitch_windows)
+        from velocity_tpu.parallel.windows import windowed_ba
         from velocity_tpu.solvers.ba import BAProblem  # noqa: F401 (doc link)
 
         n, N, _ = track_px.shape
-        # windows over the post-MSV trajectory (scale is anchored by then)
-        bounds = split_windows(n, window, overlap)
+        # include the shared boundary frame on both sides: rows s..e inclusive
+        bounds = [(s, e) for s, e, _p3 in ba_meta]
         nw = len(bounds)
-        nc = max(e - s for s, e in bounds)
+        nc = max(e - s + 1 for s, e in bounds)
         pix = np.zeros((nw, nc, N, 2), np.float32)
         msk = np.zeros((nw, nc, N), bool)
         pts0 = np.zeros((nw, N, 3), np.float32)
         cams0 = np.zeros((nw, nc, 6), np.float32)
         t_abs = B[:, 0:3] - B[0, 0:3]
-        for w, (s, e) in enumerate(bounds):
-            k = e - s
-            m = valid_hist[s:e] & np.isfinite(track_px[s:e]).all(axis=2)
+        for w, (s, e, p3w) in enumerate(ba_meta):
+            k = e - s + 1
+            m = valid_hist[s : e + 1] & np.isfinite(
+                track_px[s : e + 1]).all(axis=2)
             msk[w, :k] = m
-            pix[w, :k] = np.where(m[..., None], track_px[s:e], 0.0)
-            cams0[w, :k, 0:3] = t_abs[s:e] - t_abs[s]
-            # pad rows (short last window) repeat the final camera, masked off
+            pix[w, :k] = np.where(m[..., None], track_px[s : e + 1], 0.0)
+            cams0[w, :k, 0:3] = t_abs[s : e + 1] - t_abs[s]
+            # pad rows (short segments) repeat the final camera, masked off
             for r in range(k, nc):
                 cams0[w, r] = cams0[w, k - 1]
-            pts0[w] = p3 + t_abs[s]
+            pts0[w] = p3w + t_abs[s]
             dead = ~m.any(axis=0)
             pts0[w][dead] = np.array([0.0, 0.0, 8.0], np.float32)
         # tracks need >= 2 observations in a window to constrain anything;
@@ -383,12 +394,16 @@ class LongVideoRunner:
             else:
                 accepted += 1
 
-        # rotations and scale are pinned per window (fix_rotations +
-        # pin_tracks), so the inter-window gauge is translation-only
-        pos = camsR[:, :, 0:3]
-        stitched = stitch_windows(pos, overlap=overlap, gauge="translation")[:n]
-        B[:, 0:3] = B[0, 0:3] + stitched
-        B[:, 3:6] = stitched
+        # chain-stitch the (variable-length) segments: rotations and scale
+        # are pinned per window (fix_rotations + pin_tracks), consecutive
+        # segments share exactly their boundary frame (local cam 0), so the
+        # inter-window gauge is a pure translation fixed by that shared frame
+        pos_out = np.array(t_abs)
+        for w, (s, e, _p3w) in enumerate(ba_meta):
+            k = e - s + 1
+            pos_out[s : e + 1] = pos_out[s] + camsR[w][:k, 0:3]
+        B[:, 0:3] = B[0, 0:3] + pos_out
+        B[:, 3:6] = pos_out
         if verbose:
             print(f"[ba] refined {nw} windows, accepted {accepted} "
                   f"(iters {np.asarray(iters).ravel().tolist()})")

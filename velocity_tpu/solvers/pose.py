@@ -143,6 +143,23 @@ def estimate_world_camera_pose(
     else:
         res = solve_translation(intr, p, p3, t0, mask, config)
         R = R0
+        if config.pose_reject_sigma > 0 and config.pose_reject_above_px > 0:
+            # robust second pass: reject >sigma*rms outliers only when the
+            # first pass is bad (degrading structure, e.g. static-background
+            # lanes at high speed poisoning the rigid-cloud model); otherwise
+            # the second solve repeats the first from its own optimum with
+            # the unchanged mask — numerically a no-op.
+            proj1 = world_to_image(intr, R.astype(dtype), res.x.astype(dtype), p3)
+            err1 = jnp.where(mask, jnp.linalg.norm(p - proj1, axis=1), 0.0)
+            nv1 = jnp.maximum(jnp.sum(mask), 1)
+            rms1 = jnp.sqrt(jnp.sum(err1 * err1) / nv1)
+            bad = rms1 > config.pose_reject_above_px
+            keep = err1 <= config.pose_reject_sigma * rms1
+            mask2 = mask & (keep | ~bad)
+            # never reject below a minimum support (solver needs >= 3 lanes)
+            mask2 = jnp.where(jnp.sum(mask2) >= 8, mask2, mask)
+            res = solve_translation(intr, p, p3, res.x, mask2, config)
+            mask = mask2
         t = res.x.astype(dtype)
 
     p_proj = world_to_image(intr, R.astype(dtype), t, p3)
