@@ -389,7 +389,15 @@ class LongVideoRunner:
         for w in range(nw):
             before = _rms(w, pts0[w], cams0[w])
             after = _rms(w, ptsR[w], camsR[w])
-            if not np.isfinite(after) or after >= before:
+            # trust region: BA must not teleport any camera — a reprojection
+            # improvement with a multi-step position jump means the (partly
+            # wrong) structure pulled a poorly-constrained camera, not that
+            # the trajectory got better
+            step = np.linalg.norm(np.diff(cams0[w][:, 0:3], axis=0), axis=1)
+            move = np.linalg.norm(camsR[w][:, 0:3] - cams0[w][:, 0:3], axis=1)
+            limit = 2.0 * max(float(np.median(step)), 1e-3)
+            if (not np.isfinite(after) or after >= before
+                    or float(move.max()) > limit):
                 camsR[w] = cams0[w]  # reject: keep the tracked trajectory
             else:
                 accepted += 1
