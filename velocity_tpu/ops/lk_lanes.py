@@ -60,6 +60,15 @@ def _round8(x: int) -> int:
     return (x + 7) & ~7
 
 
+def _use_block_kernel() -> bool:
+    """Fused LK iteration-block kernel usable? (TPU, not disabled)."""
+    import os
+
+    if os.environ.get("VELOCITY_TPU_NO_LK_BLOCK"):
+        return False
+    return use_pallas()
+
+
 def _extract_slabs(img, corners, size: int):
     """(size, size, N) integer-corner patches, lanes-last.
 
@@ -223,6 +232,50 @@ def _extract_warped_lanes(imgp, pad: int, centers, P: int, M, oo: int):
     return out, corner
 
 
+def block_iters_ref(
+    dpatch, Ip, gxp, gyp, a11, a12, a22, inv_det, bx, by,
+    trackable, pts, done, prev_delta, it0,
+    *, win: int, n_taps: int, cubic: bool, eps: float, Wd: int, Hd: int,
+):
+    """One BLOCK_ITERS LK update block, XLA form (the Pallas block kernel in
+    ops/lk_block_pallas.py is line-for-line this function; a unit test holds
+    them equal)."""
+    dtype = pts.dtype
+    half = (win - 1) * 0.5
+    eps2 = jnp.asarray(eps * eps, dtype)
+    lo, hi = (1.0, n_taps - 2.0) if cubic else (0.0, n_taps - 1.0)
+    for j in range(BLOCK_ITERS):
+        ox = pts[0] - half + bx
+        oy = pts[1] - half + by
+        # while sampling clamps at the stencil edge, deltas are artifacts:
+        # such a point must not latch done — the next block re-anchors it
+        clamped = (ox < lo) | (ox > hi) | (oy < lo) | (oy > hi)
+        Jp = _sample_taps(dpatch, oy, ox, win, n_taps, cubic=cubic)
+        diff = Jp - Ip
+        b1 = jnp.sum(diff * gxp, axis=(0, 1))
+        b2 = jnp.sum(diff * gyp, axis=(0, 1))
+        dx_ = -(a22 * b1 - a12 * b2) * inv_det
+        dy_ = -(a11 * b2 - a12 * b1) * inv_det
+        # trust region: the sampled diff is only valid within the stencil
+        # reach, so larger steps walk there over iterations (re-anchoring
+        # extends the walk arbitrarily far) instead of jumping blind
+        delta = jnp.clip(jnp.stack([dx_, dy_], axis=0), -REACH, REACH)
+
+        inx = jnp.floor(pts[0] - half)
+        iny = jnp.floor(pts[1] - half)
+        in_ok = (inx >= -win) & (iny >= -win) & (inx < Wd) & (iny < Hd)
+        active = (~done) & trackable & in_ok
+        pts = jnp.where(active[None, :], pts + delta, pts)
+        small = jnp.sum(delta * delta, axis=0) <= eps2
+        osc = (it0 + j > 0) & (jnp.abs(delta + prev_delta) < 0.01).all(axis=0)
+        # clamp-affected deltas are artifacts: never latch done (or apply
+        # the oscillation backoff) on them — the next block re-anchors
+        pts = jnp.where((active & osc & ~clamped)[None, :], pts - delta * 0.5, pts)
+        done = done | ((small | osc) & ~clamped) | ~in_ok
+        prev_delta = jnp.where(active[None, :], delta, prev_delta)
+    return pts, done, prev_delta
+
+
 def _level_loop(
     dimg,
     pts0,  # (2, N) current estimates at this level's scale
@@ -268,6 +321,14 @@ def _level_loop(
         dimgp = pad_aligned(dimg, P)
     n_blocks = max(1, -(-iters // BLOCK_ITERS))
 
+    N_pts = pts0.shape[1]
+    use_block_kernel = (
+        _use_block_kernel()
+        and dtype == jnp.float32
+        and N_pts % 128 == 0
+        and (P <= 32 or N_pts % 256 == 0)
+    )
+
     def cond(carry):
         pts, done, prev_delta, blk = carry
         return (blk < n_blocks) & jnp.any(trackable & ~done)
@@ -287,37 +348,23 @@ def _level_loop(
             bx = -corner[0]
             by = -corner[1]
 
-        lo, hi = (1.0, n_taps - 2.0) if cubic else (0.0, n_taps - 1.0)
-        it0 = blk * BLOCK_ITERS
-        for j in range(BLOCK_ITERS):
-            ox = pts[0] - half + bx
-            oy = pts[1] - half + by
-            # while sampling clamps at the stencil edge, deltas are artifacts:
-            # such a point must not latch done — the next block re-anchors it
-            clamped = (ox < lo) | (ox > hi) | (oy < lo) | (oy > hi)
-            Jp = _sample_taps(dpatch, oy, ox, win, n_taps, cubic=cubic)
-            diff = Jp - Ip
-            b1 = jnp.sum(diff * gxp, axis=(0, 1))
-            b2 = jnp.sum(diff * gyp, axis=(0, 1))
-            dx_ = -(a22 * b1 - a12 * b2) * inv_det
-            dy_ = -(a11 * b2 - a12 * b1) * inv_det
-            # trust region: the sampled diff is only valid within the stencil
-            # reach, so larger steps walk there over iterations (re-anchoring
-            # extends the walk arbitrarily far) instead of jumping blind
-            delta = jnp.clip(jnp.stack([dx_, dy_], axis=0), -REACH, REACH)
+        if use_block_kernel:
+            from velocity_tpu.ops.lk_block_pallas import lk_block
 
-            inx = jnp.floor(pts[0] - half)
-            iny = jnp.floor(pts[1] - half)
-            in_ok = (inx >= -win) & (iny >= -win) & (inx < Wd) & (iny < Hd)
-            active = (~done) & trackable & in_ok
-            pts = jnp.where(active[None, :], pts + delta, pts)
-            small = jnp.sum(delta * delta, axis=0) <= eps2
-            osc = (it0 + j > 0) & (jnp.abs(delta + prev_delta) < 0.01).all(axis=0)
-            # clamp-affected deltas are artifacts: never latch done (or apply
-            # the oscillation backoff) on them — the next block re-anchors
-            pts = jnp.where((active & osc & ~clamped)[None, :], pts - delta * 0.5, pts)
-            done = done | ((small | osc) & ~clamped) | ~in_ok
-            prev_delta = jnp.where(active[None, :], delta, prev_delta)
+            p2, d2, pd2 = lk_block(
+                dpatch, Ip, gxp, gyp, a11, a12, a22, inv_det, bx, by,
+                trackable.astype(jnp.float32), pts,
+                done.astype(jnp.float32), prev_delta, blk * BLOCK_ITERS,
+                win=win, n_taps=n_taps, cubic=cubic, eps=eps,
+                Wd=Wd, Hd=Hd,
+            )
+            return p2, d2 > 0.5, pd2, blk + 1
+
+        pts, done, prev_delta = block_iters_ref(
+            dpatch, Ip, gxp, gyp, a11, a12, a22, inv_det, bx, by,
+            trackable, pts, done, prev_delta, blk * BLOCK_ITERS,
+            win=win, n_taps=n_taps, cubic=cubic, eps=eps, Wd=Wd, Hd=Hd,
+        )
         return pts, done, prev_delta, blk + 1
 
     done0 = jnp.zeros(N, bool)
