@@ -113,3 +113,28 @@ class TestWindowedBA:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestShardedTracking:
+    def test_lk_feature_shard_matches_single(self):
+        import numpy as np
+        from scipy.ndimage import gaussian_filter, shift as ndshift
+        from velocity_tpu.parallel import make_mesh
+        from velocity_tpu.parallel.track_shard import lk_forward_backward_sharded
+        from velocity_tpu.ops.lk_lanes import lk_forward_backward_lanes
+
+        rng = np.random.default_rng(3)
+        base = gaussian_filter(rng.random((300, 420)).astype(np.float32) * 255, 2)
+        im0 = jnp.asarray(base)
+        im1 = jnp.asarray(ndshift(base, (1.3, -2.1), order=3).astype(np.float32))
+        pts = jnp.asarray(np.stack([
+            rng.uniform(40, 380, 64), rng.uniform(40, 260, 64)], 1
+        ).astype(np.float32))
+        kw = dict(fb_threshold=1.0, win=15, max_level=2, iters=10, eps=0.01)
+        single = lk_forward_backward_lanes(im0, im1, pts, **kw)
+        mesh = make_mesh({"feature": 8})
+        shard = lk_forward_backward_sharded(im0, im1, pts, mesh, "feature", **kw)
+        np.testing.assert_allclose(np.asarray(shard.points),
+                                   np.asarray(single.points), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(shard.status),
+                                      np.asarray(single.status))
