@@ -75,15 +75,19 @@ def _make_kernel(win: int, n_taps: int, cubic: bool, eps: float,
     def kernel(it0_ref, dpatch, Ip, gxp, gyp, a11, a12, a22, inv_det,
                bx, by, trackable, pts_in, done_in, pd_in,
                pts_out, done_out, pd_out):
+        # per-point vectors arrive as (1, BN) — Mosaic requires 2D operands
+        # whose layout tiles match XLA's ((8,128); a blocked 1D f32[N] is
+        # rejected with a T(1024)-vs-T(256) layout mismatch)
         it0 = it0_ref[0]
         px = pts_in[0, :]
         py = pts_in[1, :]
-        done = done_in[:]
+        done = done_in[0, :]
         pdx = pd_in[0, :]
         pdy = pd_in[1, :]
-        trk = trackable[:]
-        a11v, a12v, a22v, idet = a11[:], a12[:], a22[:], inv_det[:]
-        bxv, byv = bx[:], by[:]
+        trk = trackable[0, :]
+        a11v, a12v, a22v = a11[0, :], a12[0, :], a22[0, :]
+        idet = inv_det[0, :]
+        bxv, byv = bx[0, :], by[0, :]
         gx = gxp[:]
         gy = gyp[:]
         I0 = Ip[:]
@@ -125,7 +129,7 @@ def _make_kernel(win: int, n_taps: int, cubic: bool, eps: float,
 
         pts_out[0, :] = px
         pts_out[1, :] = py
-        done_out[:] = done
+        done_out[0, :] = done
         pd_out[0, :] = pdx
         pd_out[1, :] = pdy
 
@@ -146,14 +150,16 @@ def lk_block(dpatch, Ip, gxp, gyp, a11, a12, a22, inv_det, bx, by,
     """
     P = dpatch.shape[0]
     N = dpatch.shape[-1]
-    # lane-block the grid so the win51 slab (64,64,N) stays within VMEM
-    BN = 1024 if P <= 32 else 256
+    # lane-block the grid so the win51 slab (64,64,N) stays within VMEM;
+    # Mosaic double-buffers every input block across grid steps, so the
+    # budget is ~2x the per-block footprint (256 lanes OOMed at 24.7 MB)
+    BN = 1024 if P <= 32 else 64
     BN = min(BN, N)
     assert N % BN == 0, (N, BN)
     kern = _make_kernel(win, n_taps, cubic, eps, Wd, Hd)
 
     def vec(i, m):
-        return (i,)
+        return (0, i)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -167,33 +173,35 @@ def lk_block(dpatch, Ip, gxp, gyp, a11, a12, a22, inv_det, bx, by,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((win, win, BN), lambda i, m: (0, 0, i),
                          memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec((BN,), vec, memory_space=pltpu.VMEM)] * 7 + [
-            pl.BlockSpec((2, BN), lambda i, m: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN,), vec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, BN), lambda i, m: (0, i), memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec((1, BN), vec, memory_space=pltpu.VMEM)] * 7 + [
+            pl.BlockSpec((2, BN), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BN), vec, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((2, BN), lambda i, m: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN,), vec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, BN), lambda i, m: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BN), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BN), vec, memory_space=pltpu.VMEM),
         ),
     )
     f32 = jnp.float32
+
+    def row(v):  # (N,) -> (1, N): Mosaic-friendly 2D operand
+        return v.astype(f32).reshape(1, N)
+
     pts_o, done_o, pd_o = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((2, N), f32),
-            jax.ShapeDtypeStruct((N,), f32),
+            jax.ShapeDtypeStruct((1, N), f32),
             jax.ShapeDtypeStruct((2, N), f32),
         ),
         interpret=interpret,
     )(
         jnp.asarray([it0], jnp.int32),
         dpatch.astype(f32), Ip.astype(f32), gxp.astype(f32), gyp.astype(f32),
-        a11.astype(f32), a12.astype(f32), a22.astype(f32),
-        inv_det.astype(f32), bx.astype(f32), by.astype(f32),
-        trackable.astype(f32), pts.astype(f32), done.astype(f32),
-        prev_delta.astype(f32),
+        row(a11), row(a12), row(a22), row(inv_det), row(bx), row(by),
+        row(trackable), pts.astype(f32), row(done), prev_delta.astype(f32),
     )
-    return pts_o, done_o, pd_o
+    return pts_o, done_o[0], pd_o

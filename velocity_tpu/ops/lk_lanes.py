@@ -326,7 +326,7 @@ def _level_loop(
         _use_block_kernel()
         and dtype == jnp.float32
         and N_pts % 128 == 0
-        and (P <= 32 or N_pts % 256 == 0)
+        and (P <= 32 or N_pts % 64 == 0)
     )
 
     def cond(carry):

@@ -46,12 +46,17 @@ def initialize(coordinator_address: str | None = None,
     import jax
 
     if local_device_count is not None:
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags +
-                f" --xla_force_host_platform_device_count={local_device_count}"
-            ).strip()
+        import re
+
+        # FORCE the requested count — an inherited flag (e.g. a test
+        # harness's 8-device override) would give every process the wrong
+        # local device set and break mesh/process alignment
+        flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                       os.environ.get("XLA_FLAGS", ""))
+        os.environ["XLA_FLAGS"] = (
+            flags +
+            f" --xla_force_host_platform_device_count={local_device_count}"
+        ).strip()
         # CPU "hosts": pick the platform and its cross-process collective
         # implementation BEFORE the runtime comes up
         jax.config.update("jax_platforms", "cpu")
