@@ -41,8 +41,16 @@ def _w_cubic(a):
     return jnp.where(d < 1.0, w1, jnp.where(d < 2.0, w2, 0.0))
 
 
-def _sample(patch_ref, oy, ox, win: int, n_taps: int, cubic: bool):
-    """(win, win, BN) window of the (P, P, BN) VMEM ref at offsets (oy, ox)."""
+def _sample_reduce(patch_ref, oy, ox, gx, gy, win: int, n_taps: int,
+                   cubic: bool):
+    """(sum(Jp*gx), sum(Jp*gy)) over the window, WITHOUT materializing Jp.
+
+    Jp = sum_dy wy * H[dy:dy+win] with H the x-pass accumulation, so
+    sum(Jp*g) = sum_dy wy * sum(H[dy:dy+win]*g) — per-tap reductions instead
+    of a (win, win, BN) intermediate per iteration. (The win51 slab's
+    operands already fill VMEM at 128 lanes; the materialized form overflows
+    the Mosaic stack by ~0.6 MB.)
+    """
     if cubic:
         lo, hi = 1.0, float(n_taps - 2)
     else:
@@ -55,12 +63,16 @@ def _sample(patch_ref, oy, ox, win: int, n_taps: int, cubic: bool):
         wx = w_fn(ox - dx)[None, None, :]
         sl = patch_ref[:, dx : dx + win, :]
         H = wx * sl if H is None else H + wx * sl
-    out = None
+    s1 = None
+    s2 = None
     for dy in range(n_taps):
-        wy = w_fn(oy - dy)[None, None, :]
+        wy = w_fn(oy - dy)
         sl = jax.lax.slice_in_dim(H, dy, dy + win, axis=0)
-        out = wy * sl if out is None else out + wy * sl
-    return out
+        d1 = wy * jnp.sum(sl * gx, axis=(0, 1))
+        d2 = wy * jnp.sum(sl * gy, axis=(0, 1))
+        s1 = d1 if s1 is None else s1 + d1
+        s2 = d2 if s2 is None else s2 + d2
+    return s1, s2
 
 
 def _make_kernel(win: int, n_taps: int, cubic: bool, eps: float,
@@ -91,16 +103,18 @@ def _make_kernel(win: int, n_taps: int, cubic: bool, eps: float,
         gx = gxp[:]
         gy = gyp[:]
         I0 = Ip[:]
+        # constant part of b = sum((Jp - I0) * g): hoisted out of the loop
+        c1 = jnp.sum(I0 * gx, axis=(0, 1))
+        c2 = jnp.sum(I0 * gy, axis=(0, 1))
 
         for j in range(BLOCK_ITERS):
             ox = px - half + bxv
             oy = py - half + byv
             clamped = ((ox < lo) | (ox > hi) | (oy < lo) | (oy > hi)
                        ).astype(jnp.float32)
-            Jp = _sample(dpatch, oy, ox, win, n_taps, cubic)
-            diff = Jp - I0
-            b1 = jnp.sum(diff * gx, axis=(0, 1))
-            b2 = jnp.sum(diff * gy, axis=(0, 1))
+            s1, s2 = _sample_reduce(dpatch, oy, ox, gx, gy, win, n_taps, cubic)
+            b1 = s1 - c1
+            b2 = s2 - c2
             dx_ = -(a22v * b1 - a12v * b2) * idet
             dy_ = -(a11v * b2 - a12v * b1) * idet
             dx_ = jnp.clip(dx_, -REACH, REACH)
@@ -152,8 +166,9 @@ def lk_block(dpatch, Ip, gxp, gyp, a11, a12, a22, inv_det, bx, by,
     N = dpatch.shape[-1]
     # lane-block the grid so the win51 slab (64,64,N) stays within VMEM;
     # Mosaic double-buffers every input block across grid steps, so the
-    # budget is ~2x the per-block footprint (256 lanes OOMed at 24.7 MB)
-    BN = 1024 if P <= 32 else 64
+    # budget is ~2x the per-block footprint (256 lanes OOMed at 24.7 MB;
+    # lane blocks must be 128-divisible)
+    BN = 1024 if P <= 32 else 128
     BN = min(BN, N)
     assert N % BN == 0, (N, BN)
     kern = _make_kernel(win, n_taps, cubic, eps, Wd, Hd)
