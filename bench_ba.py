@@ -193,26 +193,39 @@ def bench_kernel_rows():
         "mfu_pct_bf16peak": round(flops / per / V5E_PEAK_BF16 * 100, 2),
     })
 
-    # ---- lanes-LK tap sampling (bandwidth-bound) ----
+    # ---- fused LK iteration block (the Pallas kernel the tracker runs) ----
+    from velocity_tpu.ops.lk_block_pallas import lk_block
+
     N, P, win, taps = 1024, 24, 15, 8
-    slab = jnp.asarray(rng.random((P, P, N)).astype(np.float32))
-    oy = jnp.asarray(rng.uniform(0, 7, (N,)).astype(np.float32))
+    slab = jnp.asarray(rng.random((P, P, N)).astype(np.float32) * 255)
+    Ipw = jnp.asarray(rng.random((win, win, N)).astype(np.float32) * 255)
+    gxw = jnp.asarray(rng.normal(0, 20, (win, win, N)).astype(np.float32))
+    gyw = jnp.asarray(rng.normal(0, 20, (win, win, N)).astype(np.float32))
+    a11 = jnp.sum(gxw * gxw, axis=(0, 1)); a12 = jnp.sum(gxw * gyw, axis=(0, 1))
+    a22 = jnp.sum(gyw * gyw, axis=(0, 1))
+    inv_det = 1.0 / (a11 * a22 - a12 * a12)
+    vecN = jnp.zeros(N, jnp.float32)
+    pts2 = jnp.full((2, N), 10.0, jnp.float32)
 
-    def st20(s):
-        def body(i, acc):
-            o = L._sample_taps(s + acc * 1e-12, oy, oy, win, taps)
-            return acc + o[0, 0, 0]
-        return jax.lax.fori_loop(0, 20, body, 0.0)
+    def blk_loop(s):
+        def body(i, carry):
+            p, d, pd = carry
+            return lk_block(s, Ipw, gxw, gyw, a11, a12, a22, inv_det,
+                            vecN + 3.0, vecN + 3.0, vecN + 1.0, p, vecN, pd,
+                            i * 0, win=win, n_taps=taps, cubic=False,
+                            eps=1e-9, Wd=1920, Hd=1080)
+        p, d, pd = jax.lax.fori_loop(
+            0, 20, body, (pts2, vecN, jnp.zeros((2, N), jnp.float32)))
+        return p[0, 0]
 
-    t = _fetch_time(jax.jit(st20), slab)
+    t = _fetch_time(jax.jit(blk_loop), slab)
     t0 = _fetch_time(jax.jit(lambda s: s[0, 0, 0]), slab)
-    per = max((t - t0) / 20.0, 1e-6)
-    traffic = taps * (P * win * N * 4) * 2 * 2  # taps x slice, 2 passes, r+w
+    per = max((t - t0) / 20.0, 1e-6)  # one 5-iteration block
+    flops = 5 * (2 * taps * win * P * N * 2 + 2 * taps * win * win * N * 2)
     rows.append({
-        "metric": "lanes-LK bilinear tap sample (win15, 1024 pts)",
-        "value": round(per * 1e3, 3), "unit": "ms",
-        "achieved_GBps": round(traffic / per / 1e9, 1),
-        "hbm_roofline_pct": round(traffic / per / 1e9 / V5E_HBM_GBS * 100, 1),
+        "metric": "fused LK block kernel (5 iters, win15, 1024 pts)",
+        "value": round(per * 1e3, 4), "unit": "ms/block",
+        "achieved_gflops": round(flops / per / 1e9, 1),
     })
 
     # ---- slab extraction (DMA kernel) ----
@@ -266,16 +279,23 @@ pix = np.stack([1993.9 * pix[..., 0] / pix[..., 2] + 960.5,
 prob = BAProblem(intr=intr, pixels=jnp.asarray(pix),
                  mask=jnp.ones((nc, nt), bool), points0=jnp.asarray(pts, jnp.float32),
                  cams0=jnp.asarray(np.concatenate([pos, np.zeros((nc, 3))], 1), jnp.float32))
+def timed(f):
+    r = f(prob); np.asarray(r.points)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.time(); r = f(prob); np.asarray(r.points)
+        best = min(best, time.time() - t0)
+    return best
+
 out = []
 for nd in (1, 2, 4, 8):
     mesh = make_mesh({"point": nd}, devices=np.array(jax.devices()[:nd]))
-    f_lo = partial(ba_schur_sharded, mesh=mesh, config=BAConfig(max_iters=2, tol=0.0))
-    f_hi = partial(ba_schur_sharded, mesh=mesh, config=BAConfig(max_iters=12, tol=0.0))
-    r = f_lo(prob); np.asarray(r.points)
-    t0 = time.time(); r = f_lo(prob); np.asarray(r.points); lo = time.time() - t0
-    r = f_hi(prob); np.asarray(r.points)
-    t0 = time.time(); r = f_hi(prob); np.asarray(r.points); hi = time.time() - t0
-    out.append({"devices": nd, "ms_per_iter": round((hi - lo) / 10 * 1e3, 3)})
+    lo = timed(partial(ba_schur_sharded, mesh=mesh,
+                       config=BAConfig(max_iters=2, tol=0.0)))
+    hi = timed(partial(ba_schur_sharded, mesh=mesh,
+                       config=BAConfig(max_iters=42, tol=0.0)))
+    out.append({"devices": nd,
+                "ms_per_iter": round(max(hi - lo, 1e-6) / 40 * 1e3, 3)})
 print(json.dumps(out))
 """ % {"repo": os.path.dirname(os.path.abspath(__file__))}
     env = dict(os.environ)

@@ -129,8 +129,14 @@ class _PipelinedIngest:
 
     def __init__(self, video, vr, start: int, n: int, step: int,
                  gate_after: int | None = None):
+        """``vr``: a VideoReader OR a zero-arg callable returning one (the
+        fallback decode path only; passing a callable lets the caller overlap
+        its own cv2 open/probe with the native loader's open+seek)."""
+        import os
         import threading
 
+        if os.environ.get("VELOCITY_TPU_NO_GATE"):
+            gate_after = None
         self.n = n
         self.grays = [None] * n
         self.dev = [None] * n
@@ -154,8 +160,9 @@ class _PipelinedIngest:
                     stream = NativeVideoStream(video, start=start, count=n, step=step)
                     it = ((g, t, i) for g, _s, t, i in stream)
                 except Exception:
+                    vreader = vr() if callable(vr) else vr
                     it = ((f.gray, f.time_s, f.index)
-                          for f in vr.frames(start=start, count=n, step=step))
+                          for f in vreader.frames(start=start, count=n, step=step))
                 for j, (g, t, idx) in enumerate(it):
                     if j >= n:
                         break
@@ -243,27 +250,30 @@ class ScanSpeedRunner:
         n = n_frames if n_frames is not None else cfg.n_frames
 
         t_wall0 = _time.time()
+        if annotation is None:
+            ann = load_annotation(find_annotation(
+                video, [Path(video).parent.parent / "matlab", Path(video).parent]))
+        elif isinstance(annotation, Annotation):
+            ann = annotation
+        else:
+            ann = load_annotation(annotation)
+        start = (start_frame if start_frame is not None else
+                 (cfg.start_frame if cfg.start_frame is not None else ann.start_frame))
+
+        # ---- pipelined decode -> upload, started FIRST so the native
+        # loader's open+seek overlaps the cv2 metadata probe below; frames
+        # past the MSV boundary upload only after segment A's results are
+        # fetched (single tunnel queue — see _PipelinedIngest)
+        marks = {}
+        ingest = _PipelinedIngest(
+            video, lambda: VideoReader(video, cfg.platform), start, n,
+            cfg.read_speed, gate_after=cfg.msv_frame,
+        )
         with VideoReader(video, cfg.platform) as vr:
             cam = vr.info
-            if annotation is None:
-                ann = load_annotation(find_annotation(
-                    video, [Path(video).parent.parent / "matlab", Path(video).parent]))
-            elif isinstance(annotation, Annotation):
-                ann = annotation
-            else:
-                ann = load_annotation(annotation)
             scale = cfg.native_scale
             q = ann.q * scale
             intr = cam.intrinsics(scale=scale).astype(sdt)
-            start = (start_frame if start_frame is not None else
-                     (cfg.start_frame if cfg.start_frame is not None else ann.start_frame))
-
-            # ---- pipelined decode -> upload (overlaps device compute);
-            # frames past the MSV boundary upload only after segment A's
-            # results are fetched (single tunnel queue — see _PipelinedIngest)
-            marks = {}
-            ingest = _PipelinedIngest(video, vr, start, n, cfg.read_speed,
-                                      gate_after=cfg.msv_frame)
 
             msv_i = cfg.msv_frame
             seg_a = min(msv_i, n - 1)
