@@ -29,7 +29,9 @@ def test_three_videos_batched():
     speeds = [r.speed_kmh for r in res]
     assert abs(speeds[0] - 39.89) < 1.5, speeds  # golden 4134
     assert abs(speeds[1] - 18.74) < 1.5, speeds  # golden 4119
-    assert abs(speeds[2] - 60.0) < 12.0, speeds  # GT comment only
+    # GT 60 (vidExample.py:21 comment); measured 61.2 +/- 16 per-frame on TPU
+    # (warm-started pose solve; early frames wobble, steady state ~61.0)
+    assert abs(speeds[2] - 60.0) < 6.0, speeds
     for r in res:
         assert r.S.shape == (20, 9)
         assert r.valid[1:].sum() > 0
