@@ -35,6 +35,29 @@ class TestReport:
         s = report.summary(S)
         assert "39.00" in s and "1.000" in s
 
+    def test_polyfit_speed_recovers_polynomial_motion(self):
+        # distance d(t) = 5t + t^2 -> speed (m/s) = 5 + 2t, exactly recovered
+        # by the MATLAB-parity polyfit smoothing (runExample.m:185-190)
+        n = 12
+        S = np.zeros((n, 9))
+        t = np.arange(n) * 0.1
+        S[:, 5] = t
+        S[:, 7] = 5 * t + t**2
+        # noisy per-frame speeds the fit should NOT depend on
+        S[:, 8] = np.nan
+        dist_fit, speed_fit = report.polyfit_speed(S, degree=2)
+        np.testing.assert_allclose(dist_fit, S[:, 7], atol=1e-9)
+        np.testing.assert_allclose(speed_fit, (5 + 2 * t) * 3.6, atol=1e-8)
+
+    def test_polyfit_speed_short_input_passthrough(self):
+        S = np.zeros((2, 9))
+        S[:, 5] = [0.0, 0.1]
+        S[:, 7] = [0.0, 1.0]
+        S[:, 8] = [np.nan, 36.0]
+        d, v = report.polyfit_speed(S, degree=3)
+        np.testing.assert_allclose(d, S[:, 7])
+        np.testing.assert_allclose(v, S[:, 8])
+
 
 class TestROI:
     def test_bounding_rect_matches_cv2(self):

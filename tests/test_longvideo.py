@@ -21,21 +21,40 @@ class TestStitchGauge:
 
     def test_similarity_recovers_rotation_and_scale(self):
         rng = np.random.default_rng(0)
-        g = np.cumsum(rng.uniform(0.5, 1.0, (12, 3)), axis=0)
-        w0 = g[:7] - g[0]
-        # second window rotated+scaled into its own gauge
+        g = np.cumsum(rng.uniform(0.5, 1.0, (13, 3)), axis=0)
+        # two 8-frame windows sharing exactly 3 frames (rows 5, 6, 7)
+        w0 = g[0:8] - g[0]
         th = 0.3
         R = np.array([[np.cos(th), -np.sin(th), 0],
                       [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
         s = 1.7
-        w1_global = g[4:12] - g[4]
+        w1_global = g[5:13] - g[5]
         w1 = (R.T @ (w1_global.T / s)).T  # local = s^-1 R^-1 global
-        out = stitch_windows(np.stack([np.pad(w0, ((0, 1), (0, 0)),
-                                              mode="edge"),
-                                       w1]), overlap=3, gauge="similarity")
-        # first window rows exact; mapped second window matches global chain
-        np.testing.assert_allclose(out[:7], np.pad(w0, ((0, 1), (0, 0)),
-                                                   mode="edge")[:7], atol=1e-9)
+        out = stitch_windows(np.stack([w0, w1]), overlap=3,
+                             gauge="similarity")
+        # first window rows pass through untouched, and the MAPPED second
+        # window matches the global chain: the stitcher must undo the
+        # rotation+scale gauge on the non-shared rows too
+        np.testing.assert_allclose(out, g - g[0], atol=1e-9)
+
+    def test_align_overlap_recovers_similarity(self):
+        rng = np.random.default_rng(1)
+        from velocity_tpu.parallel.windows import align_overlap
+
+        g = np.cumsum(rng.uniform(0.3, 1.0, (6, 3)), axis=0)
+        th = -0.2
+        R = np.array([[np.cos(th), 0, -np.sin(th)], [0, 1, 0],
+                      [np.sin(th), 0, np.cos(th)]])
+        s = 0.8
+        local = (R.T @ (g.T / s)).T
+        Rf, sf, tf = align_overlap(local[:4], g[:4])
+        mapped = sf * (Rf @ local.T).T + tf
+        np.testing.assert_allclose(mapped, g, atol=1e-9)
+        # degenerate (collinear) overlap falls back to translation
+        line = np.stack([np.arange(4.0), np.zeros(4), np.zeros(4)], 1)
+        Rf2, sf2, _ = align_overlap(line, line + [0, 1, 0])
+        np.testing.assert_allclose(Rf2, np.eye(3), atol=1e-12)
+        assert sf2 == 1.0
 
     def test_split_windows_cover(self):
         w = split_windows(201, 24, 3)

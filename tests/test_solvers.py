@@ -174,6 +174,50 @@ class TestTriangulation:
         assert np.abs(a - b).max() < 0.02
         assert np.abs(a - pts).max() < 0.05
 
+    def test_masked_nray_partial_histories_and_background(self):
+        from velocity_tpu.solvers.triangulate import nray_intercept_masked_np
+
+        intr_np = (1000.0, 1000.0, 640.0, 360.0)
+        fx, fy, cx, cy = intr_np
+        nf, n = 5, 8
+        pts = np.concatenate(
+            [RNG.uniform(-2, 2, (n, 2)), RNG.uniform(6, 10, (n, 1))], axis=1)
+        tvecs = np.stack([np.zeros(nf), np.zeros(nf),
+                          np.linspace(0, 4.0, nf)], axis=1)  # car recedes
+        track = np.full((nf, n, 2), np.nan)
+        mask = np.zeros((nf, n), bool)
+        for f in range(nf):
+            pc = pts + tvecs[f]
+            track[f, :, 0] = fx * pc[:, 0] / pc[:, 2] + cx
+            track[f, :, 1] = fy * pc[:, 1] / pc[:, 2] + cy
+            mask[f] = True
+        # lane 0 observed only in the last 2 frames (replenished late)
+        mask[:3, 0] = False
+        track[:3, 0] = np.nan
+        # lane 1 is STATIC BACKGROUND: same pixel every frame — consistent
+        # only with a point at (near) infinity in the car frame
+        track[:, 1, 0] = 700.0
+        track[:, 1, 1] = 400.0
+        p3, ok = nray_intercept_masked_np(intr_np, track, tvecs, mask)
+        idx = np.r_[0, 2:n]
+        assert ok[idx].all()
+        # near-axial baseline (car recedes along z) is weakly conditioned for
+        # triangulation; sub-mm is ample for the pose-solve anchor
+        np.testing.assert_allclose(p3[idx], pts[idx], atol=1e-3)
+        # the WORLD-static lane's rays are parallel-but-offset in the car
+        # frame — self-inconsistent — and must be rejected, not admitted to
+        # the pose solve at some arbitrary depth
+        assert not ok[1]
+        # a lane with a single observation is rejected
+        mask1 = mask.copy()
+        mask1[:4, 0] = False
+        _, ok1 = nray_intercept_masked_np(intr_np, track, tvecs, mask1)
+        assert not ok1[0] and ok1[2:].all()
+        # depth plausibility band rejects out-of-band lanes
+        _, ok2 = nray_intercept_masked_np(intr_np, track, tvecs, mask,
+                                          depth_range=(11.5, 100.0))
+        assert not ok2[2:][pts[2:, 2] < 7.5].any()
+
 
 class TestMSV:
     def test_refine_translation_recovers_camera(self):

@@ -74,8 +74,12 @@ class TestStillsEndToEnd:
         ann = DATA.parent / "matlab" / "IMG_4122.JPG.mat"
         res = est.run([str(p) for p in STILLS], annotation=str(ann),
                       verbose=False)
-        # GT ~= 40 km/h (vidExample.py:26); assert the estimate is in band
-        assert 32.0 < res.speed_kmh < 48.0, res.speed_kmh
+        # GT ~= 40 km/h (vidExample.py:26); +/-10% band. Measured on the real
+        # TPU 2026-08-21: 41.10 +/- 2.90 km/h, residual 0.88 px.
+        assert 36.0 < res.speed_kmh < 44.0, res.speed_kmh
+        # the post-MSV pose solve must run from a populated car structure
+        # (the pre-round-5 pipeline decayed to 3 background-free tracks)
+        assert res.S[6:, 2].min() >= 50, res.S[:, 2]
         # georegistration filled the earth-frame columns
         assert np.any(res.B[:, 6:9] != 0)
 

@@ -94,13 +94,22 @@ def cmd_longvideo(args) -> int:
         ba_refine=not args.no_ba,
         verbose=not args.quiet,
     )
+    out = {
+        "speed_kmh": res.speed_kmh, "speed_std": res.speed_std,
+        "residual_px": res.residual_px, "fps": res.timings["fps"],
+        "windows": res.timings.get("windows"),
+        "ba_refined": res.timings.get("ba_refined"),
+    }
+    if args.smooth:
+        import numpy as np
+
+        _dist, vfit = res.smoothed(args.smooth)
+        out["speed_kmh_polyfit"] = float(np.nanmean(vfit[1:]))
+        if not args.quiet:
+            print(f"polyfit(deg {args.smooth}) speed = "
+                  f"{out['speed_kmh_polyfit']:.2f} km/h")
     if args.json:
-        print(json.dumps({
-            "speed_kmh": res.speed_kmh, "speed_std": res.speed_std,
-            "residual_px": res.residual_px, "fps": res.timings["fps"],
-            "windows": res.timings.get("windows"),
-            "ba_refined": res.timings.get("ba_refined"),
-        }))
+        print(json.dumps(out))
     return 0
 
 
@@ -163,6 +172,9 @@ def main(argv=None) -> int:
     _add_speed_args(sp)
     sp.add_argument("--window", type=int, default=24, help="frames per window")
     sp.add_argument("--overlap", type=int, default=3, help="shared frames")
+    sp.add_argument("--smooth", type=int, default=0, metavar="DEG",
+                    help="polyfit-smoothed speed of the given degree "
+                         "(MATLAB runExample.m:185-190 parity; 0 = off)")
     sp.add_argument("--checkpoint", default=None, help="window-state .npz path")
     sp.add_argument("--resume", action="store_true",
                     help="resume from --checkpoint if present")

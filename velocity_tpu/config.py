@@ -39,7 +39,11 @@ class TrackerConfig:
     fb_threshold_coarse: float = 1.0  # stage-2 forward-backward gate (px)
     fb_threshold_fine: float = 0.3  # stage-3 forward-backward gate (px)
     min_affine_inliers: int = 10  # below this, fall back to feature matching
-    ransac_trials: int = 256
+    # Fixed hypothesis batch (cv2 adapts up to 2000 trials at confidence .99;
+    # a fixed batch must cover the worst case it will meet: the stills burst
+    # has ~15% affine-consistent inliers, where 256 trials miss a pure triple
+    # ~40% of the time and 1024 miss ~3%).
+    ransac_trials: int = 1024
     ransac_threshold: float = 3.0  # px, cv2.estimateAffine2D default
     max_features: int = 1024  # static feature capacity (incl. 4 plate corners)
     harris_block: int = 5
@@ -50,6 +54,16 @@ class TrackerConfig:
     subpix_eps: float = 0.001
     roi_border: tuple[int, int] = (700, 500)  # Harris ROI around plate
     regional_border: int = 50  # KLT regional bbox border
+    # Car-anchored affine prior: estimate the stage affines (and the match
+    # fallback) from lanes within ``car_margin`` plate diagonals of the
+    # tracked plate corners instead of global max-consensus RANSAC. The
+    # scene has two motion groups (car vs static background); when the
+    # background dominates the detections (sharp wide-baseline stills), the
+    # global consensus locks onto it and the fine stage then kills every car
+    # track. Default off: the reference's videos are background-blurred
+    # single-motion scenes and use the global fit (KLT.py:116-117).
+    car_affine: bool = False
+    car_margin: float = 4.0  # car-box half-extent, in plate diagonals
 
 
 @dataclass(frozen=True)

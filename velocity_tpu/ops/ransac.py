@@ -87,17 +87,34 @@ def estimate_affine_ransac(
 
     Ms, inls, counts = jax.vmap(eval_trial)(idx3)
     best = jnp.argmax(counts)
+    thr2 = threshold * threshold
+
+    # Local optimization (cv2 refineIters equivalent): LSQ refit on the
+    # current inlier set, recount, keep the refit ONLY if it does not lose
+    # inliers. A blind refit can collapse — a near-degenerate winning triple
+    # yields a skewed LSQ model whose own inlier recount is empty (observed on
+    # the mixed-motion stills pairs).
+    M = Ms[best]
     inliers = inls[best]
+    n_in = counts[best]
+    for _ in range(2):
+        M_ref = fit_affine_lsq(src, dst, inliers.astype(dtype))
+        pred = src @ M_ref[:, :2].T + M_ref[:, 2]
+        d2 = jnp.sum((pred - dst) ** 2, axis=1)
+        inl_ref = mask & (d2 <= thr2)
+        n_ref = jnp.sum(inl_ref)
+        better = (n_in >= 3) & (n_ref >= n_in)
+        M = jnp.where(better, M_ref, M)
+        inliers = jnp.where(better, inl_ref, inliers)
+        n_in = jnp.where(better, n_ref, n_in)
 
-    # LSQ refinement on the winning inliers (cv2 refineIters equivalent; affine
-    # LSQ is linear so one solve is exact). Guard: if everything failed, fall
-    # back to identity so downstream stays finite.
-    any_inl = jnp.sum(inliers) >= 3
-    M_ref = fit_affine_lsq(src, dst, inliers.astype(dtype))
-    M = jnp.where(any_inl, M_ref, jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]], dtype))
-
-    # final inlier set against the refined model
-    pred = src @ M[:, :2].T + M[:, 2]
-    d2 = jnp.sum((pred - dst) ** 2, axis=1)
-    final_inl = mask & (d2 <= threshold * threshold)
-    return AffineRansacResult(M=M, inliers=final_inl, n_inliers=jnp.sum(final_inl))
+    # guard: if every hypothesis failed, fall back to identity (finite
+    # downstream) with its own inlier set
+    eye = jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]], dtype)
+    pred_i = src @ eye[:, :2].T + eye[:, 2]
+    d2_i = jnp.sum((pred_i - dst) ** 2, axis=1)
+    inl_i = mask & (d2_i <= thr2)
+    good = n_in >= 3
+    M = jnp.where(good, M, eye)
+    inliers = jnp.where(good, inliers, inl_i)
+    return AffineRansacResult(M=M, inliers=inliers, n_inliers=jnp.sum(inliers))

@@ -27,6 +27,11 @@ class WindowState:
     S: np.ndarray  # (n_so_far, 9) stats rows
     track_px: np.ndarray | None = None  # (n_so_far, N, 2) track history
     valid_hist: np.ndarray | None = None  # (n_so_far, N) per-frame validity
+    boxes: np.ndarray | None = None  # (2, 4) plate/ROI boxes (resume keeps overlays)
+    ba_bounds: np.ndarray | None = None  # (nw, 2) completed BA segment bounds
+    ba_p3: np.ndarray | None = None  # (nw, N, 3) per-segment structure snapshots
+    ba_repl: np.ndarray | None = None  # (nw, N) lanes replenished at segment start
+    repl_next: np.ndarray | None = None  # (N,) lanes replenished at this boundary
     meta: dict = field(default_factory=dict)
 
 
@@ -38,6 +43,16 @@ def save_state(path: str | Path, state: WindowState) -> None:
         extra["track_px"] = state.track_px
     if state.valid_hist is not None:
         extra["valid_hist"] = state.valid_hist
+    if state.boxes is not None:
+        extra["boxes"] = np.asarray(state.boxes, np.int64)
+    if state.ba_bounds is not None:
+        extra["ba_bounds"] = np.asarray(state.ba_bounds, np.int64)
+    if state.ba_p3 is not None:
+        extra["ba_p3"] = state.ba_p3
+    if state.ba_repl is not None:
+        extra["ba_repl"] = state.ba_repl
+    if state.repl_next is not None:
+        extra["repl_next"] = state.repl_next
     np.savez_compressed(
         str(path),
         frame_index=np.int64(state.frame_index),
@@ -66,5 +81,10 @@ def load_state(path: str | Path) -> WindowState:
         S=z["S"],
         track_px=z["track_px"] if "track_px" in z else None,
         valid_hist=z["valid_hist"] if "valid_hist" in z else None,
+        boxes=z["boxes"] if "boxes" in z else None,
+        ba_bounds=z["ba_bounds"] if "ba_bounds" in z else None,
+        ba_p3=z["ba_p3"] if "ba_p3" in z else None,
+        ba_repl=z["ba_repl"] if "ba_repl" in z else None,
+        repl_next=z["repl_next"] if "repl_next" in z else None,
         meta=meta,
     )

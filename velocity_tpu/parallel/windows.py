@@ -155,6 +155,29 @@ def _umeyama(src, dst, with_scale: bool):
     return R, s, t
 
 
+def align_overlap(local_shared, global_shared, gauge: str = "auto"):
+    """(R, s, t) mapping a window's local gauge onto the stitched global one,
+    estimated from the shared (overlap) frames: ``global ~= s * R @ local + t``.
+
+    ``gauge="similarity"``/"auto" fits the full Umeyama similarity when >= 3
+    non-collinear shared frames exist; otherwise (or with
+    ``gauge="translation"``) the fit degenerates to the mean offset. This is
+    the variable-length form of ``stitch_windows`` used by the long-video
+    driver, whose tracking segments are unequal.
+    """
+    local_shared = np.asarray(local_shared, np.float64)
+    global_shared = np.asarray(global_shared, np.float64)
+    k = local_shared.shape[0]
+    use_sim = gauge in ("similarity", "auto") and k >= 3
+    if use_sim:
+        span = np.linalg.matrix_rank(
+            local_shared - local_shared.mean(0), tol=1e-9)
+        if span >= 2:
+            return _umeyama(local_shared, global_shared, with_scale=True)
+    t = (global_shared - local_shared).mean(axis=0)
+    return np.eye(3), 1.0, t
+
+
 def stitch_windows(cam_positions, overlap: int = 1, gauge: str = "auto"):
     """Chain-stitch per-window camera trajectories into one global trajectory.
 

@@ -37,15 +37,6 @@ from velocity_tpu.pipeline.scan import scan_segment, _PipelinedIngest
 from velocity_tpu.pipeline.tracker import frame_pyramids_jit
 
 
-def _fit_plane(p3, valid):
-    """Least-squares plane n . x = d through the valid structure points."""
-    pts = p3[valid]
-    c = pts.mean(axis=0)
-    u, s, vt = np.linalg.svd(pts - c, full_matrices=False)
-    n = vt[-1]
-    return n, float(n @ c)
-
-
 class LongVideoRunner:
     """Windowed long-video speed estimation (see module docstring)."""
 
@@ -57,31 +48,8 @@ class LongVideoRunner:
 
     # -------------------------------------------------------------- helpers
     def _replenish(self, gray, q, pts, vg, p3, t_abs, intr_np):
-        """Refill dead lanes with fresh Harris corners back-projected onto the
-        plane of the live structure; returns updated (pts, vg, p3, n_new)."""
-        cfg = self.config
-        live = vg.sum()
-        if live >= cfg.tracker.max_features // 2:
-            return pts, vg, p3, 0
-        p_new, valid_new, _boxa, _boxb = self._est._init_features(gray, q)
-        n, d = _fit_plane(p3, vg)
-        fx, fy, cx, cy = intr_np
-        dead = ~vg
-        cand = valid_new & dead  # only fill lanes that are both free and found
-        # ray of each candidate pixel in the current camera
-        rx = (p_new[:, 0] - cx) / fx
-        ry = (p_new[:, 1] - cy) / fy
-        rays = np.stack([rx, ry, np.ones_like(rx)], axis=1)
-        rays /= np.linalg.norm(rays, axis=1, keepdims=True)
-        # p = s*ray - t_abs on the plane n.p = d  =>  s = (d + n.t)/(n.ray)
-        denom = rays @ n
-        s = np.where(np.abs(denom) > 1e-9, (d + n @ t_abs) / denom, np.nan)
-        p3_cand = s[:, None] * rays - t_abs[None, :]
-        ok = cand & np.isfinite(p3_cand).all(axis=1) & (s > 0)
-        pts = np.where(ok[:, None], p_new, pts)
-        p3 = np.where(ok[:, None], p3_cand, p3)
-        vg = vg | ok
-        return pts, vg, p3, int(ok.sum())
+        """Refill dead lanes (shared SpeedEstimator._replenish)."""
+        return self._est._replenish(gray, q, pts, vg, p3, t_abs, intr_np)
 
     # ------------------------------------------------------------------ run
     def run(
@@ -98,6 +66,14 @@ class LongVideoRunner:
         mesh=None,
         verbose: bool = True,
     ):
+        """Run the windowed long-video pipeline.
+
+        ``window``: tracking-segment length; boundaries snap to an absolute
+        row grid (multiples of ``window``) so resumed runs replay the exact
+        boundary schedule of uninterrupted ones. ``overlap``: number of
+        frames each BA refinement window shares with its predecessor (>= 3
+        engages the Umeyama similarity gauge stitch; 1 = translation chain).
+        """
         from velocity_tpu.camera.annotations import (
             Annotation, load_annotation, find_annotation)
         from velocity_tpu.ingest.video import VideoReader
@@ -143,6 +119,7 @@ class LongVideoRunner:
             state = None
             if resume and ckpt is not None and ckpt.exists():
                 state = load_state(ckpt)
+            ba_meta = []  # (seg_start, seg_end, p3 snapshot) per segment
             if state is not None:
                 i0 = state.frame_index  # boundary frame (absolute row index)
                 p_np = state.points
@@ -160,7 +137,18 @@ class LongVideoRunner:
                                           cfg.read_speed)
                 base = i0
                 res0 = float(S[0, 3])
-                boxa = boxb = (0, 0, 0, 0)
+                if state.boxes is not None:
+                    boxa = tuple(int(v) for v in state.boxes[0])
+                    boxb = tuple(int(v) for v in state.boxes[1])
+                else:
+                    boxa = boxb = (0, 0, 0, 0)
+                if state.ba_bounds is not None and state.ba_p3 is not None:
+                    ba_meta = [
+                        (int(s), int(e), state.ba_p3[w].astype(np.float64),
+                         (state.ba_repl[w] if state.ba_repl is not None
+                          else np.zeros(N, bool)))
+                        for w, (s, e) in enumerate(state.ba_bounds)
+                    ]
             else:
                 ingest = _PipelinedIngest(video, vr, start, n, cfg.read_speed)
                 ingest.wait(0)
@@ -171,6 +159,8 @@ class LongVideoRunner:
                 vg_np = valid.copy()
                 vp_np = valid & inside_bbox(p_np, boxa)
                 B[0, 0:3] = t0_np
+                B[0, 12] = ingest.times[0]
+                B[0, 13] = ingest.indices[0]
                 track_px[0, vg_np] = p_np[vg_np]
                 valid_hist[0] = vg_np
                 base = 0
@@ -183,16 +173,24 @@ class LongVideoRunner:
             p3_dev = jnp.asarray(p3_np, sdt)
 
             # ---- window loop (continuous carry) ----
-            ba_meta = []  # (seg_start, seg_end, p3 snapshot) per segment —
-            # snapshots are taken AFTER the MSV re-anchor but BEFORE
-            # replenishment, so each window's structure matches the content
-            # its pixel rows actually tracked (replenished lanes only change
-            # identity at boundaries, after the snapshot)
+            # ba_meta snapshots (see above) are taken AFTER the MSV re-anchor
+            # but BEFORE replenishment, so each window's structure matches the
+            # content its pixel rows actually tracked (replenished lanes only
+            # change identity at boundaries, after the snapshot)
             i = base  # absolute row index of the carry frame
+            # lanes replenished at the upcoming segment's start boundary —
+            # recorded per segment so BA's overlap extension can exclude them
+            # from pre-boundary rows (their pixels there belong to the lane's
+            # previous identity)
+            repl_at_start = (state.repl_next.astype(bool)
+                             if state is not None and state.repl_next is not None
+                             else np.zeros(N, bool))
             while i < n - 1:
-                # segment ends at the next boundary: window frames, the MSV
+                # segment ends at the next boundary: the next multiple of
+                # ``window`` (an ABSOLUTE row grid — a resumed run hits the
+                # exact same boundaries as an uninterrupted one), the MSV
                 # frame, or the video end — whichever comes first
-                nexts = [i + window, n - 1]
+                nexts = [(i // window + 1) * window, n - 1]
                 if i < msv_i < n:
                     nexts.append(msv_i)
                 j = min(x for x in nexts if x > i)
@@ -213,6 +211,11 @@ class LongVideoRunner:
                     B[r, 3:6] = tW[k]
                     B[r, 0:3] = B[0, 0:3] + tW[k]
                     S[r, 3] = resW[k]
+                # timestamp/index columns fill as frames are ingested, so a
+                # checkpoint written at this boundary carries complete rows
+                # (resume previously restored zero timestamps -> NaN speeds)
+                B[i + 1 : j + 1, 12] = ingest.times[i + 1 - base : j + 1 - base]
+                B[i + 1 : j + 1, 13] = ingest.indices[i + 1 - base : j + 1 - base]
                 seg_start = i
                 i = j
 
@@ -220,9 +223,6 @@ class LongVideoRunner:
                 if i == msv_i and n > msv_i:
                     from velocity_tpu.pipeline.anchor import reanchor
 
-                    for r in range(msv_i + 1):
-                        ingest.wait(max(r - base, 0))
-                    B[: msv_i + 1, 12] = ingest.times[: msv_i + 1 - base]
                     vg_np = np.asarray(vg_dev)
                     p3_new, t_track = reanchor(
                         cfg, cam, scale, track_px[: msv_i + 1], vg_np, B,
@@ -236,11 +236,16 @@ class LongVideoRunner:
                     vp_dev = vg_dev
 
                 # ---- boundary host work: snapshot + replenish + checkpoint
-                ba_meta.append((seg_start, i, np.array(p3_dev, np.float64)))
+                ba_meta.append((seg_start, i, np.array(p3_dev, np.float64),
+                                repl_at_start.copy()))
+                repl_at_start = np.zeros(N, bool)
                 p_np = np.asarray(pts_dev)
                 vg_np = np.asarray(vg_dev)
                 vp_np = np.asarray(vp_dev)
-                if i > msv_i:
+                # replenish only at INTERIOR grid boundaries: a run that ends
+                # mid-grid (or a truncated test run) must leave the same state
+                # a longer run carries through that row, or resume diverges
+                if i > msv_i and i < n - 1 and i % window == 0:
                     p_r, vg_r, p3_r, n_new = self._replenish(
                         ingest.grays[i - base], q, p_np, vg_np,
                         np.asarray(p3_dev, np.float64),
@@ -250,7 +255,9 @@ class LongVideoRunner:
                         if verbose:
                             print(f"[window @{i}] replenished {n_new} tracks "
                                   f"({vg_np.sum()} -> {vg_r.sum()})")
+                        repl_at_start = vg_r & ~vg_np
                         p_np, vg_np, p3_np = p_r, vg_r, p3_r
+                        vp_np = vg_np.copy()
                         pts_dev = jnp.asarray(p_np, jnp.float32)
                         vg_dev = jnp.asarray(vg_np)
                         vp_dev = jnp.asarray(vg_np)
@@ -264,6 +271,12 @@ class LongVideoRunner:
                         B=B[: i + 1], S=S[: i + 1],
                         track_px=track_px[: i + 1],
                         valid_hist=valid_hist[: i + 1],
+                        boxes=np.array([boxa, boxb], np.int64),
+                        ba_bounds=np.array(
+                            [(s, e) for s, e, _p, _r in ba_meta], np.int64),
+                        ba_p3=np.stack([p3w for _s, _e, p3w, _r in ba_meta]),
+                        ba_repl=np.stack([r for _s, _e, _p, r in ba_meta]),
+                        repl_next=repl_at_start,
                         meta={"video": str(video), "start": str(start)},
                     ))
 
@@ -277,7 +290,8 @@ class LongVideoRunner:
         ba_windows = None
         if ba_refine and n > msv_i + 2 and len(ba_meta) > 0:
             ba_windows = self._ba_refine(
-                track_px, valid_hist, B, ba_meta, intr, mesh, verbose)
+                track_px, valid_hist, B, ba_meta, intr, mesh, verbose,
+                overlap=overlap)
 
         # ---- stats table ----
         wall = time.time() - t_wall0
@@ -311,45 +325,61 @@ class LongVideoRunner:
             valid=valid_hist, plate_box=boxa, roi_box=boxb, camera=cam,
             config=cfg, first_gray=first_gray, last_gray=last_gray,
             timings={"wall_s": wall, "fps": n / wall,
-                     "windows": int(np.ceil((n - 1) / max(window - overlap, 1))),
+                     "windows": len(ba_meta),
                      "ba_refined": bool(ba_refine and ba_windows is not None)},
         )
         return res
 
     # ------------------------------------------------------ BA refinement
     def _ba_refine(self, track_px, valid_hist, B, ba_meta, intr, mesh,
-                   verbose):
+                   verbose, overlap: int = 1):
         """Per-window Schur BA over the mesh, stitched back into B.
 
-        Windows are the tracking segments (consecutive segments share their
-        boundary frame -> overlap 1); each uses its own structure snapshot so
-        replenished lanes never mix identities across windows.
+        Windows are the tracking segments extended backwards by up to
+        ``overlap - 1`` rows, so consecutive BA windows share ``overlap``
+        frames (clamped to the previous segment's span). The shared frames
+        fix each window's gauge against the already-stitched trajectory:
+        with >= 3 of them the full Umeyama similarity (rotation + scale +
+        translation) is estimated (parallel/windows.py align_overlap), else
+        the fit degenerates to the translation chain. Each window uses its
+        own structure snapshot so replenished lanes never mix identities.
         """
         from velocity_tpu.config import BAConfig
-        from velocity_tpu.parallel.windows import windowed_ba
+        from velocity_tpu.parallel.windows import windowed_ba, align_overlap
         from velocity_tpu.solvers.ba import BAProblem  # noqa: F401 (doc link)
 
         n, N, _ = track_px.shape
-        # include the shared boundary frame on both sides: rows s..e inclusive
-        bounds = [(s, e) for s, e, _p3 in ba_meta]
+        # window w spans rows ext_s..e; ext_s reaches back (overlap - 1) rows
+        # into the previous segment so ``overlap`` frames are shared
+        bounds = []
+        for w, (s, e, _p3, _r) in enumerate(ba_meta):
+            lo = ba_meta[w - 1][0] if w > 0 else s
+            ext_s = max(s - (overlap - 1), lo) if w > 0 else s
+            bounds.append((ext_s, s, e))
         nw = len(bounds)
-        nc = max(e - s + 1 for s, e in bounds)
+        nc = max(e - ext_s + 1 for ext_s, _s, e in bounds)
         pix = np.zeros((nw, nc, N, 2), np.float32)
         msk = np.zeros((nw, nc, N), bool)
         pts0 = np.zeros((nw, N, 3), np.float32)
         cams0 = np.zeros((nw, nc, 6), np.float32)
         t_abs = B[:, 0:3] - B[0, 0:3]
-        for w, (s, e, p3w) in enumerate(ba_meta):
-            k = e - s + 1
-            m = valid_hist[s : e + 1] & np.isfinite(
-                track_px[s : e + 1]).all(axis=2)
+        for w, (ext_s, s, e) in enumerate(bounds):
+            p3w, repl_w = ba_meta[w][2], ba_meta[w][3]
+            k = e - ext_s + 1
+            m = valid_hist[ext_s : e + 1] & np.isfinite(
+                track_px[ext_s : e + 1]).all(axis=2)
+            # extension rows precede this segment's start boundary: lanes
+            # replenished AT that boundary carried a different identity there
+            ext = s - ext_s
+            if ext > 0:
+                m[:ext, repl_w] = False
             msk[w, :k] = m
-            pix[w, :k] = np.where(m[..., None], track_px[s : e + 1], 0.0)
-            cams0[w, :k, 0:3] = t_abs[s : e + 1] - t_abs[s]
+            pix[w, :k] = np.where(m[..., None], track_px[ext_s : e + 1], 0.0)
+            cams0[w, :k, 0:3] = t_abs[ext_s : e + 1] - t_abs[ext_s]
             # pad rows (short segments) repeat the final camera, masked off
             for r in range(k, nc):
                 cams0[w, r] = cams0[w, k - 1]
-            pts0[w] = p3w + t_abs[s]
+            pts0[w] = p3w + t_abs[ext_s]
             dead = ~m.any(axis=0)
             pts0[w][dead] = np.array([0.0, 0.0, 8.0], np.float32)
         # tracks need >= 2 observations in a window to constrain anything;
@@ -402,14 +432,24 @@ class LongVideoRunner:
             else:
                 accepted += 1
 
-        # chain-stitch the (variable-length) segments: rotations and scale
-        # are pinned per window (fix_rotations + pin_tracks), consecutive
-        # segments share exactly their boundary frame (local cam 0), so the
-        # inter-window gauge is a pure translation fixed by that shared frame
+        # chain-stitch the (variable-length) windows. Rotations and scale are
+        # pinned per window (fix_rotations + pin_tracks), but each window's BA
+        # still solves in its own local gauge; the shared overlap frames map
+        # it onto the already-stitched trajectory — Umeyama similarity when
+        # >= 3 non-collinear shared frames exist (align_overlap), else the
+        # mean translation offset.
         pos_out = np.array(t_abs)
-        for w, (s, e, _p3w) in enumerate(ba_meta):
-            k = e - s + 1
-            pos_out[s : e + 1] = pos_out[s] + camsR[w][:k, 0:3]
+        for w, (ext_s, s, e) in enumerate(bounds):
+            k = e - ext_s + 1
+            local = camsR[w][:k, 0:3]
+            if w == 0:
+                pos_out[s : e + 1] = pos_out[s] + local
+                continue
+            shared = s - ext_s + 1  # rows ext_s..s are already stitched
+            R, sc, tt = align_overlap(local[:shared],
+                                      pos_out[ext_s : s + 1])
+            mapped = sc * (R @ local.T).T + tt
+            pos_out[s + 1 : e + 1] = mapped[shared:]
         B[:, 0:3] = B[0, 0:3] + pos_out
         B[:, 3:6] = pos_out
         if verbose:

@@ -275,6 +275,17 @@ class ScanSpeedRunner:
             q = ann.q * scale
             intr = cam.intrinsics(scale=scale).astype(sdt)
 
+            # clamp n to the frames the video actually holds (requesting more
+            # used to raise from ingest.wait instead of truncating; the ingest
+            # above simply decodes fewer frames than asked — frames past the
+            # clamp are never waited on)
+            if cam.frame_count:
+                avail = -(-(int(cam.frame_count) - start) // cfg.read_speed)
+                if avail <= 0:
+                    raise ValueError(
+                        f"start frame {start} beyond video ({cam.frame_count})")
+                n = min(n, avail)
+
             msv_i = cfg.msv_frame
             seg_a = min(msv_i, n - 1)
 
@@ -355,14 +366,17 @@ class ScanSpeedRunner:
 
                 pyrM, spyrM, pts_msv, vg_msv_dev, _vp, t_msv = carryA
                 framesB = jnp.stack([ingest.wait(j) for j in range(msv_i + 1, n)])
+                marks["msv_done_s"] = _time.time() - t_wall0
                 carryB, outB = scan_segment(
                     framesB, pyrM, spyrM, pts_msv,
                     vg_msv_dev, vpB, t_msv, p3B, intr,
                     all_keys[msv_i + 1 :], cfg.tracker, cfg.solver, sdt,
                     lean=lean,
                 )
+                marks["segB_dispatched_s"] = _time.time() - t_wall0
                 if lean:
                     packedB = np.asarray(outB, np.float64)  # (k, 6)
+                    marks["segB_fetched_s"] = _time.time() - t_wall0
                     tB = packedB[:, 0:3]
                     resB = packedB[:, 3]
                     ntB = packedB[:, 4]
@@ -383,9 +397,9 @@ class ScanSpeedRunner:
                 ntB = None
 
             ingest.join()
-            B[:, 12] = ingest.times
-            B[:, 13] = ingest.indices
-        grays0, graysL = ingest.grays[0], ingest.grays[-1]
+            B[:, 12] = ingest.times[:n]
+            B[:, 13] = ingest.indices[:n]
+        grays0, graysL = ingest.grays[0], ingest.grays[n - 1]
 
         # ---- feature-match rescue (reference SURF fallback, KLT.py:126-130):
         # the scanned graph cannot branch to a host feature matcher, so

@@ -72,8 +72,24 @@ class RunResult:
     def residual_px(self) -> float:
         return float(self.S[1:, 3].mean())
 
+    def smoothed(self, degree: int = 3):
+        """(distance_fit_m, speed_fit_kmh): polynomial-smoothed curves
+        (MATLAB parity, runExample.m:185-190 — see report.polyfit_speed)."""
+        from velocity_tpu.pipeline.report import polyfit_speed
+
+        return polyfit_speed(self.S, degree)
+
 
 from functools import partial
+
+
+def _fit_plane(p3, valid):
+    """Least-squares plane n . x = d through the valid structure points."""
+    pts = p3[valid]
+    c = pts.mean(axis=0)
+    _u, _s, vt = np.linalg.svd(pts - c, full_matrices=False)
+    n = vt[-1]
+    return n, float(n @ c)
 
 
 @partial(jax.jit, static_argnames=("box", "max_corners", "quality", "block", "k",
@@ -167,6 +183,48 @@ class SpeedEstimator:
             jax.config.update("jax_enable_x64", prev_x64)
         return t0, p3, res0
 
+    # ------------------------------------------------------------ replenish
+    def _replenish(self, gray, q, pts, vg, p3, t_abs, intr_np,
+                   min_live: int | None = None):
+        """Refill dead lanes with fresh Harris corners back-projected onto the
+        plane of the live structure; returns (pts, vg, p3, n_new).
+
+        The reference never replenishes (its clips are short); long videos and
+        the wide-baseline stills burst shed tracks faster than 20-frame clips,
+        so dead lanes are re-seeded at window/frame boundaries. Detection runs
+        around the CURRENT plate position (the tracked lanes 0..3) when the
+        plate lanes are alive — the annotation ``q`` is frame-0 geometry and
+        the car moves. Plate lanes themselves are never re-seeded: BA pins
+        them as the metric scale anchor (pin_tracks=4).
+        """
+        cfg = self.config
+        live = int(vg.sum())
+        if min_live is None:
+            min_live = cfg.tracker.max_features // 2
+        if live >= min_live or live < 3:
+            return pts, vg, p3, 0
+        q_now = pts[0:4] if bool(vg[0:4].all()) else q
+        p_new, valid_new, _boxa, _boxb = self._init_features(gray, q_now)
+        n_pl, d_pl = _fit_plane(p3, vg)
+        fx, fy, cx, cy = intr_np
+        dead = ~vg
+        cand = valid_new & dead  # only fill lanes that are both free and found
+        cand[:4] = False
+        # ray of each candidate pixel in the current camera
+        rx = (p_new[:, 0] - cx) / fx
+        ry = (p_new[:, 1] - cy) / fy
+        rays = np.stack([rx, ry, np.ones_like(rx)], axis=1)
+        rays /= np.linalg.norm(rays, axis=1, keepdims=True)
+        # p = s*ray - t_abs on the plane n.p = d  =>  s = (d + n.t)/(n.ray)
+        denom = rays @ n_pl
+        s = np.where(np.abs(denom) > 1e-9, (d_pl + n_pl @ t_abs) / denom, np.nan)
+        p3_cand = s[:, None] * rays - t_abs[None, :]
+        ok = cand & np.isfinite(p3_cand).all(axis=1) & (s > 0)
+        pts = np.where(ok[:, None], p_new, pts)
+        p3 = np.where(ok[:, None], p3_cand, p3)
+        vg = vg | ok
+        return pts, vg, p3, int(ok.sum())
+
     # ------------------------------------------------------------ frame step
     def _frame_step_with_fallback(
         self, pyr_prev, spyr_prev, im_dev, pts_dev, vg_dev, vp_dev, p3,
@@ -194,10 +252,20 @@ class SpeedEstimator:
             from velocity_tpu.pipeline.tracker import _track_fine_p
             from velocity_tpu.solvers.pose import estimate_world_camera_pose
 
-            T23 = affine_from_feature_match(
-                prev_gray, gray, _np.asarray(pts_dev), _np.asarray(vg_dev),
-                scale=0.5,
-            )
+            pnp = _np.asarray(pts_dev)
+            vnp = _np.asarray(vg_dev)
+            if cfg.tracker.car_affine:
+                # car-anchored rescue: search only around the tracked plate
+                # so the match affine locks onto the car's motion group
+                lo = pnp[0:4].min(axis=0)
+                hi = pnp[0:4].max(axis=0)
+                m = cfg.tracker.car_margin * float(_np.linalg.norm(hi - lo))
+                inbox = ((pnp[:, 0] >= lo[0] - m) & (pnp[:, 0] <= hi[0] + m)
+                         & (pnp[:, 1] >= lo[1] - m) & (pnp[:, 1] <= hi[1] + m))
+                vm = vnp & inbox
+                vnp = vm if vm.sum() >= 4 else vnp
+            T23 = affine_from_feature_match(prev_gray, gray, pnp, vnp,
+                                            scale=0.5)
             T23j = jnp.asarray(T23, jnp.float32)
             p_new, vg_new = _track_fine_p(
                 pyr_prev, pyr_cur, pts_dev, vg_dev, T23j, cfg.tracker

@@ -23,11 +23,27 @@ from velocity_tpu.pipeline import report
 from velocity_tpu.pipeline.roi import inside_bbox
 from velocity_tpu.pipeline.speedest import SpeedEstimator, RunResult
 from velocity_tpu.pipeline.tracker import frame_pyramids_jit
-from velocity_tpu.solvers.triangulate import msv_refine_translation
+from velocity_tpu.solvers.triangulate import (
+    msv_refine_translation, nray_intercept_masked_np)
 
 
 class StillsSpeedEstimator(SpeedEstimator):
-    """Speed estimation over an ordered JPG burst with EXIF timing/GPS."""
+    """Speed estimation over an ordered JPG burst with EXIF timing/GPS.
+
+    Forces the car-anchored affine prior (TrackerConfig.car_affine): the
+    sharp wide-baseline burst has two motion groups, and the background
+    dominates global consensus — see the config field's rationale.
+    """
+
+    def __init__(self, config: PipelineConfig = PipelineConfig()):
+        import dataclasses
+
+        if not config.tracker.car_affine:
+            config = dataclasses.replace(
+                config,
+                tracker=dataclasses.replace(config.tracker, car_affine=True),
+            )
+        super().__init__(config)
 
     def run(
         self,
@@ -56,6 +72,7 @@ class StillsSpeedEstimator(SpeedEstimator):
         scale = cfg.native_scale
         q = ann.q * scale
         intr = cam.intrinsics(scale=scale).astype(sdt)
+        intr_np = (float(intr.fx), float(intr.fy), float(intr.cx), float(intr.cy))
         n = len(reader.paths)
         N = cfg.tracker.max_features
 
@@ -65,6 +82,7 @@ class StillsSpeedEstimator(SpeedEstimator):
         proj_px = np.full((n, N, 2), np.nan, np.float32)
         valid_hist = np.zeros((n, N), bool)
 
+        pending = np.zeros(N, bool)  # replenished lanes awaiting triangulation
         key = jax.random.PRNGKey(0)
         t_wall0 = time.time()
         if verbose:
@@ -156,6 +174,49 @@ class StillsSpeedEstimator(SpeedEstimator):
             )
             if verbose:
                 print(report.row(S[i]))
+
+            # replenish after the scale transfer: the ~2 m/frame burst
+            # baseline sheds tracks far faster than video (the 12-image GT
+            # run decays to single digits without this, and the post-MSV
+            # pose solve needs a populated structure). New lanes are TRACKED
+            # immediately but join the pose solve (vp) only after N-ray
+            # triangulation from real baseline: the plane-seeded depth is
+            # provisional, and static-background corners seeded at car depth
+            # would otherwise drag the solve toward zero motion.
+            if i >= cfg.msv_frame and i < n - 1:
+                p_r, vg_r, p3_r, n_new = self._replenish(
+                    gray, q, np.asarray(pts_dev), vg,
+                    np.asarray(p3, np.float64), np.asarray(t, np.float64),
+                    intr_np)
+                if n_new:
+                    pending |= vg_r & ~vg
+                    vg = vg_r
+                    pts_dev = jnp.asarray(p_r, jnp.float32)
+                    vg_dev = jnp.asarray(vg)
+                    p3 = jnp.asarray(p3_r, sdt)
+                    track_px[i, vg] = p_r[vg]
+                    valid_hist[i] = vg
+            pending &= vg
+            if i > cfg.msv_frame and pending.any():
+                # plausible-depth band around the live solved structure
+                tvec_i = np.asarray(t, np.float64)
+                z_live = (np.asarray(p3, np.float64)[vp] + tvec_i)[:, 2]
+                med = float(np.median(z_live)) if vp.any() else 10.0
+                p3_tri, okt = nray_intercept_masked_np(
+                    intr_np,
+                    track_px[cfg.msv_frame : i + 1],
+                    B[cfg.msv_frame : i + 1, 0:3] - B[0, 0:3],
+                    valid_hist[cfg.msv_frame : i + 1] & pending[None, :],
+                    depth_range=(0.25 * med, 4.0 * med),
+                )
+                promote = pending & okt
+                if promote.any():
+                    p3_np2 = np.asarray(p3, np.float64)
+                    p3_np2[promote] = p3_tri[promote]
+                    p3 = jnp.asarray(p3_np2, sdt)
+                    vp = vp | promote
+                    vp_dev = jnp.asarray(vp)
+                    pending[promote] = False
 
         wall = time.time() - t_wall0
         if georegister and np.any(B[:, 9] != 0):

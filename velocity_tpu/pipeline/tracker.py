@@ -77,6 +77,23 @@ def _pyr_kw(cfg: TrackerConfig, src_pyr, dst_pyr):
     return {}
 
 
+def _car_mask(pts, valid, cfg: TrackerConfig):
+    """Lanes plausibly on the car: within ``car_margin`` plate diagonals of
+    the tracked plate corners (lanes 0..3 by construction). Falls back to
+    ``valid`` when the subset is degenerate (< 8 lanes). See
+    TrackerConfig.car_affine."""
+    qv = pts[0:4]
+    lo = jnp.min(qv, axis=0)
+    hi = jnp.max(qv, axis=0)
+    m = cfg.car_margin * jnp.sqrt(jnp.sum((hi - lo) ** 2))
+    inbox = (
+        (pts[:, 0] >= lo[0] - m) & (pts[:, 0] <= hi[0] + m)
+        & (pts[:, 1] >= lo[1] - m) & (pts[:, 1] <= hi[1] + m)
+    )
+    mc = valid & inbox
+    return jnp.where(jnp.sum(mc) >= 8, mc, valid)
+
+
 def _track_stages_p(
     pyr_prev, pyr_cur, spyr_prev, spyr_cur, pts, valid, key, cfg: TrackerConfig
 ):
@@ -100,8 +117,9 @@ def _track_stages_p(
     p1 = r1.points / scale
     v1 = valid & r1.status
     key, k1 = jax.random.split(key)
+    m1r = _car_mask(pts, v1, cfg) if cfg.car_affine else v1
     ransac1 = estimate_affine_ransac(
-        pts, p1, mask=v1, key=k1, trials=cfg.ransac_trials, threshold=cfg.ransac_threshold
+        pts, p1, mask=m1r, key=k1, trials=cfg.ransac_trials, threshold=cfg.ransac_threshold
     )
     v1 = v1 & ransac1.inliers
 
@@ -132,8 +150,9 @@ def _track_stages_p(
 
     # ---- affine for stage 3 from stage-2 survivors ----
     key, k2 = jax.random.split(key)
+    m2r = _car_mask(pts, v2, cfg) if cfg.car_affine else v2
     ransac2 = estimate_affine_ransac(
-        pts, p2, mask=v2, key=k2, trials=cfg.ransac_trials, threshold=cfg.ransac_threshold
+        pts, p2, mask=m2r, key=k2, trials=cfg.ransac_trials, threshold=cfg.ransac_threshold
     )
     # degenerate guard: if stage 2 collapsed, fall back to stage-1 model
     use2 = n2 > cfg.min_affine_inliers

@@ -89,6 +89,82 @@ def nray_intercept(origins: jnp.ndarray, rays: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.solve(S1, S2[..., None])[..., 0]
 
 
+def nray_intercept_masked_np(intr_np, track_px, tvecs, mask,
+                             min_obs: int = 2, max_residual_px: float = 3.0,
+                             depth_range=None):
+    """Host-side masked N-ray triangulation for lanes with PARTIAL histories.
+
+    Replenished lanes enter mid-sequence, so unlike ``nray_intercept`` each
+    lane uses only the frames where it was observed. The motion model is the
+    pipeline's post-frame-0 convention (R = I, p_cam = p3 + t_f, reference
+    vidExample.py:120): pixel (u, v) in frame f rays along
+    d = [(u-cx)/fx, (v-cy)/fy, 1] from origin -t_f.
+
+    Acceptance gates — a lane is ``ok`` only when its triangulation carries
+    usable pose information:
+      * >= ``min_obs`` observations, finite solution, positive depth at every
+        observed frame;
+      * reprojection rms over its own history <= ``max_residual_px`` — a
+        WORLD-static lane (background) has parallel-but-offset rays in the
+        car frame whose least-squares point reprojects inconsistently, so
+        this gate rejects the lanes that would otherwise drag the pose solve
+        toward zero motion;
+      * optional ``depth_range=(zmin, zmax)``: last-frame camera depth must
+        be plausible (callers pass a band around the live structure's median
+        depth — catches depth-ambiguous near-coincident ray bundles that
+        happen to reproject consistently).
+
+    Args:
+      intr_np: (fx, fy, cx, cy) floats.
+      track_px: (k, N, 2) pixels (NaN where unobserved).
+      tvecs: (k, 3) per-frame camera translations t_f.
+      mask: (k, N) observation validity.
+
+    Returns:
+      (p3 (N, 3), ok (N,)).
+    """
+    import numpy as np
+
+    fx, fy, cx, cy = intr_np
+    k, N, _ = track_px.shape
+    m = mask & np.isfinite(track_px).all(axis=2)
+    t = np.nan_to_num(track_px.astype(np.float64))
+    rays = np.stack(
+        [(t[..., 0] - cx) / fx, (t[..., 1] - cy) / fy, np.ones((k, N))],
+        axis=-1,
+    )
+    rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
+    tvecs = np.asarray(tvecs, np.float64)
+    origins = -tvecs  # (k, 3)
+    eye = np.eye(3)
+    P = (eye - rays[..., :, None] * rays[..., None, :]) * m[..., None, None]
+    S1 = P.sum(axis=0)  # (N, 3, 3)
+    S2 = np.einsum("fnij,fj->ni", P, origins)
+    nobs = np.maximum(m.sum(axis=0), 1)
+    p3 = np.linalg.solve(S1 + eye * 1e-9, S2[..., None])[..., 0]
+
+    # per-lane reprojection rms over the observed frames
+    pc = p3[None, :, :] + tvecs[:, None, :]  # (k, N, 3)
+    z = pc[..., 2]
+    z_safe = np.where(np.abs(z) > 1e-9, z, 1e-9)
+    u = fx * pc[..., 0] / z_safe + cx
+    v = fy * pc[..., 1] / z_safe + cy
+    err2 = (u - t[..., 0]) ** 2 + (v - t[..., 1]) ** 2
+    rms = np.sqrt(np.where(m, err2, 0.0).sum(axis=0) / nobs)
+    depth_ok = np.where(m, z > 1e-2, True).all(axis=0)
+
+    ok = (
+        (m.sum(axis=0) >= min_obs)
+        & np.isfinite(p3).all(axis=1)
+        & depth_ok
+        & (rms <= max_residual_px)
+    )
+    if depth_range is not None:
+        z_last = p3[:, 2] + tvecs[-1][2]
+        ok &= (z_last >= depth_range[0]) & (z_last <= depth_range[1])
+    return p3, ok
+
+
 class MSVResult(NamedTuple):
     t: jnp.ndarray  # (3,) refined translation of the newest camera
     points: jnp.ndarray  # (N, 3) triangulated cloud at the solution
