@@ -2,6 +2,8 @@
 
 Usage: python scripts/profile_step.py  (from the repo root; axon TPU).
 """
+import sys
+sys.path.insert(0, "/root/repo")
 import time
 import numpy as np
 import jax

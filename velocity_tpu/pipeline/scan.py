@@ -121,22 +121,27 @@ class _PipelinedIngest:
     tunnel runs ~17 ms per 1080p frame) overlaps both decode and device
     compute. ``wait(i)`` blocks until frame i is on device.
 
-    ``gate_after``: uploads of frames with index > gate_after pause until
-    ``release()`` — the tunnel is one queue, so bulk uploads ahead of a
-    latency-critical fetch (segment-A results feeding the MSV anchor) would
-    stall it. Decode continues regardless; only uploads are held.
+    ``gates``: a sorted list of frame-index thresholds. Uploads of frames
+    with index > gates[k] pause until the k-th ``release()`` — the tunnel is
+    one serial queue, so bulk uploads enqueued ahead of a latency-critical
+    dispatch/fetch (the frame-0 Harris init, segment-A results feeding the
+    MSV anchor) would stall it. Decode continues regardless; only uploads
+    are held. ``gate_after=k`` is shorthand for ``gates=[k]``.
     """
 
     def __init__(self, video, vr, start: int, n: int, step: int,
-                 gate_after: int | None = None):
+                 gate_after: int | None = None,
+                 gates: "list[int] | None" = None):
         """``vr``: a VideoReader OR a zero-arg callable returning one (the
         fallback decode path only; passing a callable lets the caller overlap
         its own cv2 open/probe with the native loader's open+seek)."""
         import os
         import threading
 
+        if gates is None:
+            gates = [gate_after] if gate_after is not None else []
         if os.environ.get("VELOCITY_TPU_NO_GATE"):
-            gate_after = None
+            gates = []
         self.n = n
         self.grays = [None] * n
         self.dev = [None] * n
@@ -144,10 +149,8 @@ class _PipelinedIngest:
         self.indices = np.zeros(n, np.int64)
         self._ready = [threading.Event() for _ in range(n)]
         self._err = None
-        self._gate_after = gate_after if gate_after is not None else n
-        self._gate = threading.Event()
-        if gate_after is None:
-            self._gate.set()
+        self._gates = sorted(gates)
+        self._gate_events = [threading.Event() for _ in self._gates]
         q: "list" = []
         q_lock = threading.Condition()
 
@@ -189,8 +192,9 @@ class _PipelinedIngest:
                     for ev in self._ready:
                         ev.set()  # unblock waiters (missing frames -> None)
                     return
-                if j > self._gate_after:
-                    self._gate.wait()
+                for g, ev in zip(self._gates, self._gate_events):
+                    if j > g:
+                        ev.wait()
                 self.dev[j] = jax.device_put(self.grays[j])
                 self._ready[j].set()
 
@@ -202,12 +206,16 @@ class _PipelinedIngest:
             t.start()
 
     def release(self):
-        """Open the upload gate (see ``gate_after``)."""
-        self._gate.set()
+        """Open the next unopened upload gate (see ``gates``)."""
+        for ev in self._gate_events:
+            if not ev.is_set():
+                ev.set()
+                return
 
     def wait(self, i: int):
-        if i > self._gate_after:
-            self._gate.set()  # a waiter past the gate implies it must open
+        for g, ev in zip(self._gates, self._gate_events):
+            if i > g:
+                ev.set()  # a waiter past a gate implies it must open
         self._ready[i].wait()
         if self._err is not None:
             raise self._err
@@ -267,7 +275,7 @@ class ScanSpeedRunner:
         marks = {}
         ingest = _PipelinedIngest(
             video, lambda: VideoReader(video, cfg.platform), start, n,
-            cfg.read_speed, gate_after=cfg.msv_frame,
+            cfg.read_speed, gates=[0, cfg.msv_frame],
         )
         with VideoReader(video, cfg.platform) as vr:
             cam = vr.info
@@ -289,18 +297,22 @@ class ScanSpeedRunner:
             msv_i = cfg.msv_frame
             seg_a = min(msv_i, n - 1)
 
-            # ---- frame-0 init (host f64) while later frames stream in ----
-            ingest.wait(0)
+            # ---- frame-0 init while later frames stream in. The Harris
+            # dispatch+fetch runs on the ALREADY-UPLOADED device frame with
+            # the tunnel otherwise idle (frames >= 1 are held behind the
+            # first gate until the fetch lands — bulk H2D enqueued ahead of
+            # it would delay the result by the whole upload burst) ----
+            dev0 = ingest.wait(0)
             marks["decode0_s"] = _time.time() - t_wall0
-            p, valid, boxa, boxb = self._est._init_features(ingest.grays[0], q)
+            p, valid, boxa, boxb = self._est._init_features(dev0, q)
             marks["init_features_s"] = _time.time() - t_wall0
+            pyr0, spyr0 = frame_pyramids_jit(dev0, cfg.tracker)
+            ingest.release()  # frames 1..msv upload behind the pyramid build
             t0_np, p3_np, res0 = self._est._init_geometry(cam, q, p, valid, scale)
             marks["init_geometry_s"] = _time.time() - t_wall0
             N = cfg.tracker.max_features
             vg0 = valid.copy()
             vp0 = valid & inside_bbox(p, boxa)
-
-            pyr0, spyr0 = frame_pyramids_jit(ingest.wait(0), cfg.tracker)
             pts0 = jnp.asarray(p, jnp.float32)
             p3 = jnp.asarray(p3_np, sdt)
 
@@ -365,14 +377,60 @@ class ScanSpeedRunner:
                 vpB = jnp.asarray(vg_msv)
 
                 pyrM, spyrM, pts_msv, vg_msv_dev, _vp, t_msv = carryA
-                framesB = jnp.stack([ingest.wait(j) for j in range(msv_i + 1, n)])
                 marks["msv_done_s"] = _time.time() - t_wall0
-                carryB, outB = scan_segment(
-                    framesB, pyrM, spyrM, pts_msv,
-                    vg_msv_dev, vpB, t_msv, p3B, intr,
-                    all_keys[msv_i + 1 :], cfg.tracker, cfg.solver, sdt,
-                    lean=lean,
-                )
+                # segment B runs in TWO chained scan dispatches: the tunnel is
+                # one serial queue, so waiting for ALL post-MSV frames to
+                # upload before dispatching wastes the device — the first
+                # chunk dispatches as soon as its frames land and the
+                # remaining uploads overlap its execution (~17 ms/frame H2D
+                # vs ~30 ms/frame compute; chunk of 6 hides the rest)
+                import os as _os
+
+                k_total = n - (msv_i + 1)
+                mode = _os.environ.get("VELOCITY_TPU_SEGB", "eager")
+                if mode == "eager":
+                    # one async dispatch per frame, issued the moment that
+                    # frame's upload is enqueued: uploads, execution, and the
+                    # single end-of-segment fetch pipeline on the tunnel with
+                    # no stacked-copy of the frame batch (the lax.scan form
+                    # also measures ~3 ms/frame slower than the same step
+                    # dispatched eagerly)
+                    carry = (pyrM, spyrM, pts_msv, vg_msv_dev, vpB, t_msv)
+                    outs_parts = []
+                    for j in range(msv_i + 1, n):
+                        r = fused_frame_step_pyr(
+                            carry[0], carry[1], ingest.wait(j),
+                            carry[2], carry[3], carry[4], p3B, intr,
+                            all_keys[j], cfg.tracker, cfg.solver, sdt,
+                            carry[5],
+                        )
+                        carry = (r[0], r[1], r[2], r[3], r[4], r[5])
+                        outs_parts.append(
+                            r[10] if lean
+                            else (r[2], r[3], r[4], r[5], r[6], r[7], r[8]))
+                    if lean:
+                        outB = jnp.stack(outs_parts)
+                    else:
+                        outB = jax.tree.map(
+                            lambda *xs: jnp.stack(xs), *outs_parts)
+                else:
+                    split = min(6, k_total)
+                    chunks = [(msv_i + 1, msv_i + 1 + split)]
+                    if k_total > split:
+                        chunks.append((msv_i + 1 + split, n))
+                    carry = (pyrM, spyrM, pts_msv, vg_msv_dev, vpB, t_msv)
+                    outs_parts = []
+                    for (c0, c1) in chunks:
+                        framesC = jnp.stack(
+                            [ingest.wait(j) for j in range(c0, c1)])
+                        carry, outC = scan_segment(
+                            framesC, *carry, p3B, intr,
+                            all_keys[c0:c1], cfg.tracker, cfg.solver, sdt,
+                            lean=lean,
+                        )
+                        outs_parts.append(outC)
+                    outB = jax.tree.map(
+                        lambda *xs: jnp.concatenate(xs, axis=0), *outs_parts)
                 marks["segB_dispatched_s"] = _time.time() - t_wall0
                 if lean:
                     packedB = np.asarray(outB, np.float64)  # (k, 6)

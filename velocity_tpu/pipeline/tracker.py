@@ -132,6 +132,8 @@ def _track_stages_p(
     n1 = jnp.maximum(jnp.sum(v1), 1)
     mean_shift = jnp.sum((p1 - pts) * m1, axis=0) / n1
     shift_int = jnp.trunc(mean_shift)  # reference: int() truncation (KLT.py:66-67)
+    lvl2 = (cfg.stage2_max_level if cfg.stage2_max_level is not None
+            else lk1.max_level)
     r2 = lk_fb(
         pyr_prev[0].astype(dtype),
         pyr_cur[0].astype(dtype),
@@ -139,10 +141,10 @@ def _track_stages_p(
         guess=pts + shift_int,
         fb_threshold=cfg.fb_threshold_coarse,
         win=lk1.window,
-        max_level=lk1.max_level,
+        max_level=lvl2,
         iters=lk1.max_iters,
         eps=lk1.eps,
-        **_pyr_kw(cfg, pyr_prev, pyr_cur),
+        **_pyr_kw(cfg, pyr_prev[: lvl2 + 1], pyr_cur[: lvl2 + 1]),
     )
     p2 = r2.points  # already current-frame coordinates
     v2 = valid & r2.status
