@@ -81,6 +81,89 @@ class TestLMEngine:
         np.testing.assert_allclose(np.asarray(res.x), 0.04 * np.ones(2), atol=1e-12)
 
 
+class TestPlatePoseCandidates:
+    """Planar-pose ambiguity machinery (solvers/pose.py round 5)."""
+
+    INTR_VALS = (1993.9, 1993.9, 960.5, 540.5, 0.0)
+
+    def _intr(self):
+        from velocity_tpu.geometry.projection import Intrinsics
+
+        return Intrinsics(*(jnp.float64(v) for v in self.INTR_VALS))
+
+    def _plate(self):
+        from velocity_tpu.geometry.plate import license_plate_points
+
+        return np.asarray(license_plate_points("Chile"), np.float64)
+
+    def test_homography_pose_exact_on_clean_quad(self):
+        from velocity_tpu.solvers.pose import _planar_pose_homography_np
+        from velocity_tpu.geometry.rotations import rpy_to_matrix
+        from velocity_tpu.geometry.projection import world_to_image
+
+        intr, plate = self._intr(), self._plate()
+        R = np.asarray(rpy_to_matrix(jnp.asarray([0.3, -0.2, 0.1], jnp.float64)))
+        t = np.array([-1.0, -0.4, 4.0])
+        q = np.asarray(world_to_image(intr, jnp.asarray(R), jnp.asarray(t),
+                                      jnp.asarray(plate)))
+        Rh, th = _planar_pose_homography_np(intr, q, plate)
+        np.testing.assert_allclose(Rh, R, atol=1e-10)
+        np.testing.assert_allclose(th, t, atol=1e-10)
+
+    def test_candidates_contain_truth_and_its_mirror(self):
+        from velocity_tpu.solvers.pose import plate_pose_candidates
+        from velocity_tpu.geometry.rotations import rpy_to_matrix
+        from velocity_tpu.geometry.projection import world_to_image
+        from velocity_tpu.config import SolverConfig
+
+        intr, plate = self._intr(), self._plate()
+        R = np.asarray(rpy_to_matrix(jnp.asarray([0.25, -0.3, 0.05],
+                                                 jnp.float64)))
+        t = np.array([-0.8, -0.3, 5.0])
+        q = np.asarray(world_to_image(intr, jnp.asarray(R), jnp.asarray(t),
+                                      jnp.asarray(plate)))
+        # ~1 px corner noise: enough to open the two-fold ambiguity
+        q = q + np.array([[0.9, -0.7], [-0.8, 0.6], [0.7, 0.9], [-0.6, -0.8]])
+        cands = plate_pose_candidates(intr, jnp.asarray(q), jnp.asarray(plate),
+                                      SolverConfig())
+        assert len(cands) >= 1
+        # the branch nearest the true pose exists and is metrically close
+        errs = [np.linalg.norm(np.asarray(c.t) - t) for c in cands]
+        assert min(errs) < 0.25, errs
+        # deterministic: a second call returns identical candidates
+        cands2 = plate_pose_candidates(intr, jnp.asarray(q),
+                                       jnp.asarray(plate), SolverConfig())
+        assert len(cands) == len(cands2)
+        for a, b in zip(cands, cands2):
+            np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+
+    def test_resolve_plate_pose_picks_track_consistent_branch(self):
+        from velocity_tpu.pipeline.anchor import resolve_plate_pose
+        from velocity_tpu.geometry.rotations import rpy_to_matrix
+        from velocity_tpu.geometry.projection import world_to_image
+        from velocity_tpu.config import PipelineConfig
+
+        intr, plate = self._intr(), self._plate()
+        R = np.asarray(rpy_to_matrix(jnp.asarray([0.25, -0.3, 0.05],
+                                                 jnp.float64)))
+        t0 = np.array([-0.8, -0.3, 5.0])
+        # synthetic 6-frame plate track: the car recedes 0.4 m/frame
+        k = 6
+        track = np.full((k, 16, 2), np.nan)
+        for f in range(k):
+            tf = t0 + np.array([0.0, 0.0, 0.4]) * f
+            track[f, 0:4] = np.asarray(world_to_image(
+                intr, jnp.asarray(R), jnp.asarray(tf), jnp.asarray(plate)))
+        q = track[0, 0:4] + np.array([[0.9, -0.7], [-0.8, 0.6],
+                                      [0.7, 0.9], [-0.6, -0.8]])
+        track[0, 0:4] = q  # frame-0 lanes are the (noisy) annotation
+        pose0, p3c, t_rel, res_track = resolve_plate_pose(
+            intr, q, track, PipelineConfig())
+        dx = np.linalg.norm(np.diff(t_rel, axis=0), axis=1)
+        # winner reproduces the 0.4 m/frame motion (wrong branch would not)
+        np.testing.assert_allclose(dx, 0.4, atol=0.05)
+
+
 class TestPoseSolvers:
     def _scene(self, n=60, z0=8.0):
         pw = np.concatenate(

@@ -32,6 +32,7 @@ class WindowState:
     ba_p3: np.ndarray | None = None  # (nw, N, 3) per-segment structure snapshots
     ba_repl: np.ndarray | None = None  # (nw, N) lanes replenished at segment start
     repl_next: np.ndarray | None = None  # (N,) lanes replenished at this boundary
+    pending: np.ndarray | None = None  # (N,) lanes awaiting triangulation promote
     meta: dict = field(default_factory=dict)
 
 
@@ -53,6 +54,8 @@ def save_state(path: str | Path, state: WindowState) -> None:
         extra["ba_repl"] = state.ba_repl
     if state.repl_next is not None:
         extra["repl_next"] = state.repl_next
+    if state.pending is not None:
+        extra["pending"] = state.pending
     np.savez_compressed(
         str(path),
         frame_index=np.int64(state.frame_index),
@@ -86,5 +89,6 @@ def load_state(path: str | Path) -> WindowState:
         ba_p3=z["ba_p3"] if "ba_p3" in z else None,
         ba_repl=z["ba_repl"] if "ba_repl" in z else None,
         repl_next=z["repl_next"] if "repl_next" in z else None,
+        pending=z["pending"] if "pending" in z else None,
         meta=meta,
     )

@@ -24,6 +24,74 @@ from velocity_tpu.solvers.ba import BAProblem
 from velocity_tpu.solvers.schur import ba_schur
 
 
+def resolve_plate_pose(intr64, q, track_px, cfg: PipelineConfig):
+    """Disambiguate the frame-0 planar plate pose using the early tracks.
+
+    The 4-corner fit alone cannot pick the right branch of the planar-pose
+    two-fold ambiguity when the quad is noisy (solvers/pose.py
+    plate_pose_candidates); the branches predict very different multi-frame
+    motion, so the track history over frames 1..k decides: for each
+    candidate, backproject the frame-0 plate-box features onto its plate
+    plane, re-solve the per-frame translations, and keep the branch with the
+    lower mean tracked reprojection rms.
+
+    Returns (pose0, p3_plate (N,3), t_track (k+1,3), res_track (k+1,)) for
+    the winning branch — t_track[0] = 0 (frame-0 gauge), res_track[0] = the
+    4-corner residual.
+    """
+    import jax.numpy as jnp
+
+    from velocity_tpu.geometry.plate import license_plate_points
+    from velocity_tpu.geometry.projection import image_to_world_plane
+    from velocity_tpu.pipeline.roi import bounding_rect, inside_bbox
+    from velocity_tpu.solvers.pose import (
+        plate_pose_candidates, estimate_world_camera_pose)
+
+    k1, N, _ = track_px.shape
+    plate = jnp.asarray(license_plate_points(cfg.plate_country), jnp.float64)
+    q64 = jnp.asarray(q, jnp.float64)
+    cands = plate_pose_candidates(intr64, q64, plate, cfg.solver)
+    p0 = np.nan_to_num(track_px[0].astype(np.float64))
+    valid0 = np.isfinite(track_px[0]).all(axis=1)
+    boxa = bounding_rect(np.asarray(q), (10**9, 10**9), border=(0, 0))
+    vp0 = valid0 & inside_bbox(p0, boxa)
+
+    best = None
+    for cand in cands:
+        pw2 = np.asarray(image_to_world_plane(
+            intr64, cand.R, cand.t, jnp.asarray(p0, jnp.float64)))
+        p3c = (np.concatenate([pw2, np.zeros((N, 1))], 1)
+               @ np.asarray(cand.R) + np.asarray(cand.t))
+        t_track = np.zeros((k1, 3))
+        res_track = np.zeros(k1)
+        res_track[0] = float(cand.residual_rms)
+        prev = jnp.zeros(3, jnp.float64)
+        for f in range(1, k1):
+            m = vp0 & np.isfinite(track_px[f]).all(axis=1)
+            pose = estimate_world_camera_pose(
+                intr64, jnp.asarray(np.nan_to_num(track_px[f], nan=0.0),
+                                    jnp.float64),
+                jnp.asarray(p3c), t0=prev, R0=jnp.eye(3, dtype=jnp.float64),
+                find_R=False, mask=jnp.asarray(m), config=cfg.solver,
+            )
+            t_track[f] = np.asarray(pose.t)
+            res_track[f] = float(pose.residual_rms)
+            prev = pose.t
+        score = float(res_track[1:].mean()) if k1 > 1 else res_track[0]
+        import os
+
+        if os.environ.get("VELOCITY_TPU_DEBUG_ANCHOR"):
+            print(f"[anchor] candidate res0={float(cand.residual_rms):.3f} "
+                  f"normal={np.round(np.asarray(cand.R)[2], 2)} "
+                  f"score={score:.3f} "
+                  f"dx={np.round(np.linalg.norm(np.diff(t_track, axis=0), axis=1), 3)}",
+                  flush=True)
+        if best is None or score < best[0]:
+            best = (score, cand, p3c, t_track, res_track)
+    _score, pose0, p3c, t_track, res_track = best
+    return pose0, p3c, t_track, res_track
+
+
 def reanchor(
     cfg: PipelineConfig,
     cam,
@@ -33,8 +101,12 @@ def reanchor(
     B: np.ndarray,  # (i+1, 14) car rows (B[:,0:3] positions)
     t_cur: np.ndarray,  # (3,) current frame translation
     p3: np.ndarray,  # (N, 3) current structure
+    q: np.ndarray | None = None,  # (4, 2) plate corners (enables the
+    # frame-0 planar-pose disambiguation; None = trust the incoming B/p3)
 ):
-    """Return (p3_new, t_new or None) after the scale-transfer refinement."""
+    """Return (p3_new, t_new or None, res_new or None) after the
+    scale-transfer refinement. ``t_new``/``res_new`` (rows 0..i) replace the
+    trajectory/residual columns when the refinement re-solved them."""
     prev_x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
     try:
@@ -66,20 +138,37 @@ def reanchor(
                 p3_new = np.array(p3)
                 pts = np.asarray(res.points)
                 p3_new[vg] = pts[vg]
-                # refined camera track (t_j rows); caller may update B/t
-                t_track = np.asarray(res.cams)[:, 0:3]
-                return p3_new, t_track
-            # default: MSV
+                # refined camera track -> ABSOLUTE rows; caller updates B
+                t_abs = B[0, 0:3] + np.asarray(res.cams)[:, 0:3]
+                return p3_new, t_abs, None
+
+            # default: MSV, optionally preceded by the frame-0 planar-pose
+            # disambiguation (needs the plate corners q)
+            t_cur64 = np.asarray(t_cur, np.float64)
+            origins = np.array(B[: track_px.shape[0], 0:3], np.float64)
+            p3_base = np.array(p3)
+            t_abs = None
+            res_new = None
+            if q is not None:
+                pose0, p3c, t_rel, res_track = resolve_plate_pose(
+                    intr64, q, track_px, cfg)
+                t0_new = np.asarray(pose0.t, np.float64)
+                t_abs = t0_new[None, :] + t_rel
+                origins = t_abs
+                p3_base = np.where(
+                    np.isfinite(track_px[0]).all(axis=1)[:, None], p3c, p3)
+                t_cur64 = t_rel[-1]
+                res_new = res_track
             msv = msv_refine_translation(
                 intr64,
                 jnp.asarray(track_px, jnp.float64),
                 jnp.asarray(vg),
-                jnp.asarray(B[: track_px.shape[0], 0:3], jnp.float64),
+                jnp.asarray(origins, jnp.float64),
                 config=cfg.solver,
             )
-            cloud = np.asarray(msv.points) - np.asarray(t_cur, np.float64)
-            p3_new = np.array(p3)
+            cloud = np.asarray(msv.points) - t_cur64
+            p3_new = np.array(p3_base)
             p3_new[vg] = cloud[vg]
-            return p3_new, None
+            return p3_new, t_abs, res_new
     finally:
         jax.config.update("jax_enable_x64", prev_x64)

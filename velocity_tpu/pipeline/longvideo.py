@@ -185,6 +185,13 @@ class LongVideoRunner:
             repl_at_start = (state.repl_next.astype(bool)
                              if state is not None and state.repl_next is not None
                              else np.zeros(N, bool))
+            # replenished lanes awaiting N-ray triangulation before joining
+            # the pose solve (plane-seeded depth is provisional; a static-
+            # background corner seeded at car depth drags the solve toward
+            # zero motion — same gating as the stills path)
+            pending = (state.pending.astype(bool)
+                       if state is not None and state.pending is not None
+                       else repl_at_start.copy())
             while i < n - 1:
                 # segment ends at the next boundary: the next multiple of
                 # ``window`` (an ABSOLUTE row grid — a resumed run hits the
@@ -224,24 +231,59 @@ class LongVideoRunner:
                     from velocity_tpu.pipeline.anchor import reanchor
 
                     vg_np = np.asarray(vg_dev)
-                    p3_new, t_track = reanchor(
+                    p3_new, t_abs, res_new = reanchor(
                         cfg, cam, scale, track_px[: msv_i + 1], vg_np, B,
                         np.asarray(t_dev, np.float64), np.array(p3_np),
+                        q=np.asarray(q, np.float64),
                     )
-                    if t_track is not None:
-                        B[: msv_i + 1, 3:6] = t_track
-                        B[: msv_i + 1, 0:3] = B[0, 0:3] + t_track
+                    if t_abs is not None:
+                        B[: msv_i + 1, 0:3] = t_abs
+                        B[: msv_i + 1, 3:6] = t_abs - t_abs[0]
+                        t_dev = jnp.asarray(t_abs[-1] - t_abs[0], sdt)
+                    if res_new is not None:
+                        S[: msv_i + 1, 3] = res_new
+                        res0 = float(res_new[0])
                     p3_np = p3_new
                     p3_dev = jnp.asarray(p3_new, sdt)
                     vp_dev = vg_dev
 
-                # ---- boundary host work: snapshot + replenish + checkpoint
-                ba_meta.append((seg_start, i, np.array(p3_dev, np.float64),
-                                repl_at_start.copy()))
-                repl_at_start = np.zeros(N, bool)
+                # ---- boundary host work: promote + snapshot + replenish
                 p_np = np.asarray(pts_dev)
                 vg_np = np.asarray(vg_dev)
                 vp_np = np.asarray(vp_dev)
+                pending &= vg_np
+                if i > msv_i and pending.any():
+                    # promote pending lanes whose window history triangulates
+                    # self-consistently (see solvers/triangulate.py gates)
+                    from velocity_tpu.solvers.triangulate import (
+                        nray_intercept_masked_np)
+
+                    lo = max(msv_i, i - 2 * window)
+                    tvec_i = B[i, 0:3] - B[0, 0:3]
+                    p3h = np.asarray(p3_dev, np.float64)
+                    z_live = (p3h[vp_np] + tvec_i)[:, 2]
+                    med = float(np.median(z_live)) if vp_np.any() else 10.0
+                    p3_tri, okt = nray_intercept_masked_np(
+                        intr_np, track_px[lo : i + 1],
+                        B[lo : i + 1, 0:3] - B[0, 0:3],
+                        valid_hist[lo : i + 1] & pending[None, :],
+                        depth_range=(0.25 * med, 4.0 * med),
+                    )
+                    promote = pending & okt
+                    if promote.any():
+                        p3h[promote] = p3_tri[promote]
+                        p3_np = p3h
+                        p3_dev = jnp.asarray(p3h, sdt)
+                        vp_np = vp_np | promote
+                        vp_dev = jnp.asarray(vp_np)
+                        pending &= ~promote
+                        if verbose:
+                            print(f"[window @{i}] promoted "
+                                  f"{int(promote.sum())} replenished tracks "
+                                  f"into the pose solve")
+                ba_meta.append((seg_start, i, np.array(p3_dev, np.float64),
+                                repl_at_start.copy()))
+                repl_at_start = np.zeros(N, bool)
                 # replenish only at INTERIOR grid boundaries: a run that ends
                 # mid-grid (or a truncated test run) must leave the same state
                 # a longer run carries through that row, or resume diverges
@@ -256,11 +298,11 @@ class LongVideoRunner:
                             print(f"[window @{i}] replenished {n_new} tracks "
                                   f"({vg_np.sum()} -> {vg_r.sum()})")
                         repl_at_start = vg_r & ~vg_np
+                        pending |= repl_at_start
                         p_np, vg_np, p3_np = p_r, vg_r, p3_r
-                        vp_np = vg_np.copy()
                         pts_dev = jnp.asarray(p_np, jnp.float32)
                         vg_dev = jnp.asarray(vg_np)
-                        vp_dev = jnp.asarray(vg_np)
+                        vp_dev = jnp.asarray(vp_np)
                         p3_dev = jnp.asarray(p3_np, sdt)
                         valid_hist[i] = vg_np
                         track_px[i, vg_np] = p_np[vg_np]
@@ -277,6 +319,7 @@ class LongVideoRunner:
                         ba_p3=np.stack([p3w for _s, _e, p3w, _r in ba_meta]),
                         ba_repl=np.stack([r for _s, _e, _p, r in ba_meta]),
                         repl_next=repl_at_start,
+                        pending=pending,
                         meta={"video": str(video), "start": str(start)},
                     ))
 

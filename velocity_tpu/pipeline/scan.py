@@ -366,17 +366,24 @@ class ScanSpeedRunner:
                 for j in range(msv_i + 1):
                     ingest.wait(j)
                 B[: msv_i + 1, 12] = ingest.times[: msv_i + 1]
-                p3_new, t_track = reanchor(
+                p3_new, t_abs, res_new = reanchor(
                     cfg, cam, scale, track_px[: msv_i + 1], vg_msv, B,
                     tA[seg_a - 1].astype(np.float64), np.array(p3_np),
+                    q=np.asarray(q, np.float64),
                 )
-                if t_track is not None:
-                    B[: msv_i + 1, 3:6] = t_track
-                    B[: msv_i + 1, 0:3] = B[0, 0:3] + t_track
+                if t_abs is not None:
+                    B[: msv_i + 1, 0:3] = t_abs
+                    B[: msv_i + 1, 3:6] = t_abs - t_abs[0]
+                if res_new is not None:
+                    res0 = float(res_new[0])
+                    resA = np.asarray(res_new[1:], np.float64)
                 p3B = jnp.asarray(p3_new, sdt)
                 vpB = jnp.asarray(vg_msv)
 
                 pyrM, spyrM, pts_msv, vg_msv_dev, _vp, t_msv = carryA
+                if t_abs is not None:
+                    # warm-start segment B from the re-solved boundary frame
+                    t_msv = jnp.asarray(t_abs[-1] - t_abs[0], sdt)
                 marks["msv_done_s"] = _time.time() - t_wall0
                 # segment B runs in TWO chained scan dispatches: the tunnel is
                 # one serial queue, so waiting for ALL post-MSV frames to

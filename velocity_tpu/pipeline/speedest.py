@@ -418,14 +418,32 @@ class SpeedEstimator:
                     # scale transfer (once per video; host f64 — see anchor.py)
                     from velocity_tpu.pipeline.anchor import reanchor
 
-                    p3_new, t_track = reanchor(
+                    p3_new, t_abs, res_new = reanchor(
                         cfg, cam, scale, track_px[: i + 1], vg, B,
                         np.asarray(t, np.float64), np.array(p3),
+                        q=np.asarray(q, np.float64),
                     )
                     p3 = jnp.asarray(p3_new, sdt)
-                    if t_track is not None:  # BA anchor refined the track too
-                        B[: i + 1, 3:6] = t_track
-                        B[: i + 1, 0:3] = B[0, 0:3] + t_track
+                    if t_abs is not None:  # anchor re-solved the trajectory
+                        B[: i + 1, 0:3] = t_abs
+                        B[: i + 1, 3:6] = t_abs - t_abs[0]
+                        t = jnp.asarray(t_abs[-1] - t_abs[0], sdt)
+                        # rewrite the already-recorded stats rows in the new
+                        # gauge (the reference never revisits them, but its
+                        # table is then inconsistent with its own B)
+                        dist = 0.0
+                        for r in range(i + 1):
+                            drr = (float(np.linalg.norm(
+                                B[r, 0:3] - B[r - 1, 0:3])) if r > 0 else 0.0)
+                            dist += drr
+                            S[r, 6] = drr
+                            S[r, 7] = dist
+                            dtr = S[r, 4]
+                            S[r, 8] = (drr / dtr * 3.6
+                                       if r > 0 and np.isfinite(dtr) and dtr > 0
+                                       else np.nan)
+                            if res_new is not None:
+                                S[r, 3] = res_new[r]
                     vp = vg.copy()
                     vp_dev = jnp.asarray(vp)
 

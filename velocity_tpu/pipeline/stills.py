@@ -23,8 +23,7 @@ from velocity_tpu.pipeline import report
 from velocity_tpu.pipeline.roi import inside_bbox
 from velocity_tpu.pipeline.speedest import SpeedEstimator, RunResult
 from velocity_tpu.pipeline.tracker import frame_pyramids_jit
-from velocity_tpu.solvers.triangulate import (
-    msv_refine_translation, nray_intercept_masked_np)
+from velocity_tpu.solvers.triangulate import nray_intercept_masked_np
 
 
 class StillsSpeedEstimator(SpeedEstimator):
@@ -146,23 +145,30 @@ class StillsSpeedEstimator(SpeedEstimator):
                 proj_px[i, vp] = p_proj_frame[vp]
 
             if i == cfg.msv_frame:
-                prev_x64 = jax.config.jax_enable_x64
-                jax.config.update("jax_enable_x64", True)
-                try:
-                    with jax.default_device(jax.devices("cpu")[0]):
-                        intr64 = cam.intrinsics(scale=scale).astype(jnp.float64)
-                        msv = msv_refine_translation(
-                            intr64,
-                            jnp.asarray(track_px[: i + 1], jnp.float64),
-                            jnp.asarray(vg),
-                            jnp.asarray(B[: i + 1, 0:3], jnp.float64),
-                            config=cfg.solver,
-                        )
-                        cloud = np.asarray(msv.points) - np.asarray(t, np.float64)
-                finally:
-                    jax.config.update("jax_enable_x64", prev_x64)
-                p3_new = np.array(p3)
-                p3_new[vg] = cloud[vg]
+                from velocity_tpu.pipeline.anchor import reanchor
+
+                p3_new, t_abs, res_new = reanchor(
+                    cfg, cam, scale, track_px[: i + 1], vg, B,
+                    np.asarray(t, np.float64), np.asarray(p3, np.float64),
+                    q=np.asarray(q, np.float64),
+                )
+                if t_abs is not None:
+                    B[: i + 1, 0:3] = t_abs
+                    B[: i + 1, 3:6] = t_abs - t_abs[0]
+                    t = jnp.asarray(t_abs[-1] - t_abs[0], sdt)
+                    dist = 0.0
+                    for r in range(i + 1):
+                        drr = (float(np.linalg.norm(
+                            B[r, 0:3] - B[r - 1, 0:3])) if r > 0 else 0.0)
+                        dist += drr
+                        S[r, 6] = drr
+                        S[r, 7] = dist
+                        dtr = S[r, 4]
+                        S[r, 8] = (drr / dtr * 3.6
+                                   if r > 0 and np.isfinite(dtr) and dtr > 0
+                                   else np.nan)
+                        if res_new is not None:
+                            S[r, 3] = res_new[r]
                 p3 = jnp.asarray(p3_new, sdt)
                 vp = vg.copy()
                 vp_dev = jnp.asarray(vp)

@@ -111,6 +111,209 @@ def solve_pose_rt(
     )
 
 
+def _planar_pose_homography_np(intr: Intrinsics, q, plate):
+    """Closed-form planar pose: DLT homography + orthogonalization (numpy).
+
+    Row-vector convention throughout: s*[u,v,1] = [X,Y,1] @ G with
+    G = [R[0]; R[1]; t] @ K_row. Deterministic (no iterative solver), which
+    matters: the 6-DoF LM's basin choice on a noisy 4-corner quad varies with
+    ULP-level differences across processes/compiles.
+    """
+    import numpy as np
+
+    q = np.asarray(q, np.float64)
+    P = np.asarray(plate, np.float64)
+    A = np.zeros((8, 8))
+    b = np.zeros(8)
+    for i in range(4):
+        X, Y = P[i, 0], P[i, 1]
+        u, v = q[i]
+        # [X,Y,1]@G ~ s[u,v,1], G[2,2]=1:
+        A[2 * i] = [X, Y, 1, 0, 0, 0, -u * X, -u * Y]
+        b[2 * i] = u
+        A[2 * i + 1] = [0, 0, 0, X, Y, 1, -v * X, -v * Y]
+        b[2 * i + 1] = v
+    g = np.linalg.solve(A, b)
+    G = np.array([[g[0], g[3], g[6]], [g[1], g[4], g[7]], [g[2], g[5], 1.0]])
+    fx, fy = float(intr.fx), float(intr.fy)
+    cx, cy = float(intr.cx), float(intr.cy)
+    sk = float(intr.skew)
+    K_row = np.array([[fx, 0, 0], [sk, fy, 0], [cx, cy, 1.0]])
+    M = G @ np.linalg.inv(K_row)
+    lam = 0.5 * (np.linalg.norm(M[0]) + np.linalg.norm(M[1]))
+    M = M / lam
+    if M[2, 2] < 0:  # plate must be in front of the camera
+        M = -M
+    r0, r1 = M[0], M[1]
+    R_raw = np.stack([r0, r1, np.cross(r0, r1)])
+    U, _S, Vt = np.linalg.svd(R_raw)
+    R = U @ Vt
+    if np.linalg.det(R) < 0:
+        R = U @ np.diag([1.0, 1.0, -1.0]) @ Vt
+    return R, M[2]
+
+
+def _polish_pose_np(intr: Intrinsics, q, plate, R0, t0,
+                    iters: int = 60, clamp: float = 0.05):
+    """Deterministic damped Gauss-Newton polish of a planar pose (numpy).
+
+    Small clamped steps keep the iterate INSIDE its seed's basin — the
+    planar-ambiguity branches are ~30 deg apart, so a 0.05 rad/m per-step
+    clamp cannot hop between them. Pure float64 numpy: identical results in
+    every process (the jitted LM's basin choice was observed to vary with
+    which cached executable serves the solve).
+    """
+    import numpy as np
+
+    fx, fy = float(intr.fx), float(intr.fy)
+    cx, cy = float(intr.cx), float(intr.cy)
+    sk = float(intr.skew)
+    P = np.asarray(plate, np.float64)
+    qn = np.asarray(q, np.float64)
+
+    def project(R, t):
+        pc = P @ R + t
+        u = (fx * pc[:, 0] + sk * pc[:, 1]) / pc[:, 2] + cx
+        v = fy * pc[:, 1] / pc[:, 2] + cy
+        return np.stack([u, v], 1)
+
+    def rot(w):
+        th = np.linalg.norm(w)
+        if th < 1e-12:
+            return np.eye(3)
+        a = w / th
+        K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+        return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+    R, t = np.asarray(R0, np.float64).copy(), np.asarray(t0, np.float64).copy()
+    eps = 1e-6
+    for _ in range(iters):
+        r0 = (qn - project(R, t)).ravel()
+        J = np.zeros((8, 6))
+        for k in range(3):
+            w = np.zeros(3)
+            w[k] = eps
+            J[:, k] = ((qn - project(R @ rot(w).T, t)).ravel() - r0) / eps
+            dt = np.zeros(3)
+            dt[k] = eps
+            J[:, 3 + k] = ((qn - project(R, t + dt)).ravel() - r0) / eps
+        g = J.T @ r0
+        H = J.T @ J + np.eye(6) * 1e-9
+        try:
+            step = -np.linalg.solve(H, g)
+        except np.linalg.LinAlgError:
+            break
+        step = np.clip(step, -clamp, clamp)
+        R = R @ rot(step[:3]).T
+        t = t + step[3:]
+        if np.abs(step).max() < 1e-12:
+            break
+    # re-orthonormalize (rot composition drift)
+    U, _s, Vt = np.linalg.svd(R)
+    R = U @ Vt
+    return R, t
+
+
+def _mirror_plate_pose_np(R, t):
+    """The second branch of the planar two-fold ambiguity: reflect the plate
+    normal across the center viewing ray (numpy row-vector R)."""
+    import numpy as np
+
+    n1 = R[2]
+    v = t / max(np.linalg.norm(t), 1e-12)
+    n2 = 2.0 * np.dot(n1, v) * v - n1
+    axis = np.cross(n1, n2)
+    s = np.linalg.norm(axis)
+    if s < 1e-9:
+        return None
+    axis = axis / s
+    cth = np.clip(np.dot(n1, n2), -1.0, 1.0)
+    th = np.arccos(cth)
+    K = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    Rot = np.eye(3) + np.sin(th) * K + (1 - cth) * (K @ K)
+    return R @ Rot.T  # rows transform as r' = r @ Rot.T  (Rot @ n1 = n2)
+
+
+def plate_pose_candidates(
+    intr: Intrinsics,
+    q: jnp.ndarray,  # (4, 2) plate corner pixels
+    plate: jnp.ndarray,  # (4, 3) metric plate corners
+    config: SolverConfig = SolverConfig(),
+    min_sep_deg: float = 2.0,
+):
+    """Candidate interpretations of the 4-point planar plate pose.
+
+    A noisy planar quad admits TWO perspective interpretations (the classic
+    planar-pose two-fold ambiguity); with ~2 px corner noise the wrong branch
+    can have the LOWER 4-corner residual while being metrically wrong —
+    observed on IMG_4238, where the branches differ by ~25% in implied speed.
+    Candidates are generated DETERMINISTICALLY: closed-form homography
+    decomposition, its analytic mirror branch, and LM polishes of both (plus
+    the reference-style identity-seed LM). Both raw branches are always kept
+    even when a polish collapses into the other basin, so the caller's
+    track-consistency scoring (pipeline/anchor.py resolve_plate_pose) always
+    sees both interpretations.
+
+    Returns a list of PoseResult sorted by 4-corner residual (best first).
+    """
+    import numpy as np
+
+    found = []
+
+    def add(R, t, always=False):
+        R = jnp.asarray(R, q.dtype)
+        t = jnp.asarray(t, q.dtype)
+        if float(t[2]) <= 0 or not np.isfinite(np.asarray(t)).all():
+            return
+        p_proj = world_to_image(intr, R, t, plate)
+        err = q - p_proj
+        rms = jnp.sqrt(jnp.sum(err * err) / (2.0 * q.shape[0]))
+        cand = PoseResult(t=t, R=R, residual_rms=rms, p_proj=p_proj,
+                          iterations=jnp.asarray(0))
+        for ci, c in enumerate(found):
+            cosang = (np.trace(np.asarray(c.R) @ np.asarray(R).T) - 1.0) / 2.0
+            ang = np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0)))
+            if ang < min_sep_deg:
+                if float(rms) < float(c.residual_rms):
+                    found[ci] = cand
+                return
+        found.append(cand)
+
+    def polish(R0, t0):
+        Rp, tp = _polish_pose_np(intr, np.asarray(q, np.float64),
+                                 np.asarray(plate, np.float64),
+                                 np.asarray(R0, np.float64),
+                                 np.asarray(t0, np.float64))
+        add(Rp, tp)
+
+    try:
+        Rh, th = _planar_pose_homography_np(intr, q, plate)
+    except np.linalg.LinAlgError:
+        Rh = None
+    if Rh is not None:
+        polish(Rh, th)
+        Rm = _mirror_plate_pose_np(Rh, th)
+        if Rm is not None:
+            polish(Rm, th)
+    # reference-style identity seed (NLS.py:20-22 starts from R0=I, t0 guess)
+    # plus tilted seeds for basin coverage — all deterministic numpy
+    def _tilt(rx, ry):
+        cx_, sx = np.cos(rx), np.sin(rx)
+        cy_, sy = np.cos(ry), np.sin(ry)
+        Rx = np.array([[1, 0, 0], [0, cx_, sx], [0, -sx, cx_]])
+        Ry = np.array([[cy_, 0, -sy], [0, 1, 0], [sy, 0, cy_]])
+        return Rx @ Ry
+
+    for (rx, ry) in [(0.0, 0.0), (0.6, 0.0), (-0.6, 0.0), (0.0, 0.6),
+                     (0.0, -0.6)]:
+        polish(_tilt(rx, ry), np.array([0.0, 0.0, 1.0]))
+
+    found.sort(key=lambda c: float(c.residual_rms))
+    return found
+
+
 def estimate_world_camera_pose(
     intr: Intrinsics,
     p: jnp.ndarray,  # (N, 2)
