@@ -138,3 +138,52 @@ class TestShardedTracking:
                                    np.asarray(single.points), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(shard.status),
                                       np.asarray(single.status))
+
+
+class TestShardedTrackerProduct:
+    """TrackerConfig.shard_features routes the PRODUCT tracker through the
+    feature-sharded LK (SURVEY §2.4 TP analog) — not just the library fn."""
+
+    def test_fused_step_matches_single_device(self):
+        import numpy as np
+        from scipy.ndimage import gaussian_filter, shift as ndshift
+        import dataclasses
+        from velocity_tpu.config import TrackerConfig, LKConfig, SolverConfig
+        from velocity_tpu.pipeline.tracker import fused_frame_step_pyr, frame_pyramids_jit
+
+        rng = np.random.default_rng(5)
+        base = gaussian_filter(rng.random((240, 320)).astype(np.float32) * 255, 2)
+        im0 = jnp.asarray(base)
+        im1 = jnp.asarray(ndshift(base, (0.9, -1.4), order=3).astype(np.float32))
+        N = 128
+        pts = np.zeros((N, 2), np.float32)
+        pts[:, 0] = rng.uniform(60, 260, N)
+        pts[:, 1] = rng.uniform(60, 180, N)
+        vg = np.ones(N, bool)
+        vp = vg.copy()
+        p3 = np.concatenate(
+            [rng.uniform(-1, 1, (N, 2)), rng.uniform(6, 9, (N, 1))], 1
+        ).astype(np.float32)
+        from velocity_tpu.geometry.projection import Intrinsics
+        intr = Intrinsics(*(jnp.float32(v) for v in (500.0, 500.0, 160.0, 120.0, 0.0)))
+        key = jax.random.PRNGKey(0)
+
+        def run(cfg):
+            pyr0, spyr0 = frame_pyramids_jit(im0, cfg)
+            out = fused_frame_step_pyr(
+                pyr0, spyr0, im1, jnp.asarray(pts), jnp.asarray(vg),
+                jnp.asarray(vp), jnp.asarray(p3), intr, key, cfg,
+                SolverConfig(dtype="float32"), jnp.float32, None)
+            return np.asarray(out[2]), np.asarray(out[3]), np.asarray(out[5])
+
+        base_cfg = TrackerConfig(
+            max_features=N,
+            lk_coarse=LKConfig(15, 2, 10, 0.1),
+            lk_fine=LKConfig(31, 0, 15, 0.01),
+        )
+        p_single, v_single, t_single = run(base_cfg)
+        p_shard, v_shard, t_shard = run(
+            dataclasses.replace(base_cfg, shard_features=8))
+        np.testing.assert_allclose(p_shard, p_single, atol=1e-4)
+        np.testing.assert_array_equal(v_shard, v_single)
+        np.testing.assert_allclose(t_shard, t_single, atol=1e-4)

@@ -60,6 +60,12 @@ class TrackerConfig:
     subpix_eps: float = 0.001
     roi_border: tuple[int, int] = (700, 500)  # Harris ROI around plate
     regional_border: int = 50  # KLT regional bbox border
+    # Feature-axis sharding (the TP analog, SURVEY §2.4): > 1 shards the
+    # track/lane axis of the stage-2/3 forward-backward LK over a
+    # ``feature`` mesh axis of this many devices (parallel/track_shard.py).
+    # Results are bit-identical to single-device tracking; use for high
+    # track capacity or to split the fb legs across a window group's chips.
+    shard_features: int = 0
     # Car-anchored affine prior: estimate the stage affines (and the match
     # fallback) from lanes within ``car_margin`` plate diagonals of the
     # tracked plate corners instead of global max-consensus RANSAC. The

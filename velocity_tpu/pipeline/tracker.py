@@ -32,10 +32,29 @@ from velocity_tpu.ops.ransac import estimate_affine_ransac
 
 def _lk_impls(cfg: TrackerConfig):
     if cfg.lk_backend == "lanes":
+        if cfg.shard_features > 1:
+            return lk_pyramidal_lanes, _sharded_fb(cfg)
         return lk_pyramidal_lanes, lk_forward_backward_lanes
     if cfg.lk_backend == "fast":
         return lk_pyramidal_fast, lk_forward_backward_fast
     return lk_pyramidal, lk_forward_backward
+
+
+def _sharded_fb(cfg: TrackerConfig):
+    """Forward-backward LK with the lane axis sharded over a ``feature``
+    mesh (TrackerConfig.shard_features devices) — the product hook for
+    parallel/track_shard.py. Prebuilt-pyramid kwargs are dropped: each
+    device rebuilds its pyramids locally (cheaper than broadcasting levels
+    over ICI at these image sizes)."""
+    from velocity_tpu.parallel.mesh import make_mesh
+    from velocity_tpu.parallel.track_shard import lk_forward_backward_sharded
+
+    def fb(src_img, dst_img, pts_src, *, src_pyr=None, dst_pyr=None, **kw):
+        mesh = make_mesh({"feature": cfg.shard_features})
+        return lk_forward_backward_sharded(
+            src_img, dst_img, pts_src, mesh, "feature", **kw)
+
+    return fb
 
 
 def frame_pyramids(im, cfg: TrackerConfig, dtype=jnp.float32):
