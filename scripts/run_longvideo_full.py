@@ -81,6 +81,19 @@ md.append("")
 md.append("Per-frame speed curves are in `LONGVIDEO.json` "
           "(`speed_curve_kmh`). Reproduce with "
           "`python scripts/run_longvideo_full.py`.")
+md.append("")
+md.append("**Range degradation (honest reading of the curves):** both videos "
+          "start ~4-8 m from the car and end 30-55 m away. The curves are "
+          "golden-quality for the first ~60-90 frames, then noise grows with "
+          "range: at 45+ m the plate is ~28 px and a 0.3 px tracking error "
+          "is meters of depth, so the per-frame translation solve's spread "
+          "expands (4134's final 20 frames swing 50-100 km/h). Window-"
+          "boundary structure refresh (re-triangulation from the last two "
+          "windows) keeps mid-range frames clean; the extreme-range tail is "
+          "a physical limit of the monocular plate-anchored geometry, not a "
+          "tracker failure — the reference cannot run these frames at all. "
+          "The polyfit column (MATLAB runExample.m:185-190 parity) is the "
+          "smoothed estimate.")
 with open("/root/repo/LONGVIDEO.md", "w") as f:
     f.write("\n".join(md) + "\n")
 print("wrote LONGVIDEO.json / LONGVIDEO.md")

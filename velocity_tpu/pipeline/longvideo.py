@@ -281,6 +281,38 @@ class LongVideoRunner:
                             print(f"[window @{i}] promoted "
                                   f"{int(promote.sum())} replenished tracks "
                                   f"into the pose solve")
+                # structure refresh: re-triangulate the solve lanes from the
+                # last two windows of history. Structure anchored at the MSV
+                # baseline goes stale as the car recedes (a 0.3 px track
+                # error at 10x the anchor range is meters of depth error),
+                # and the per-frame translation solves then amplify it into
+                # tens of km/h of tail noise. Plate lanes 0..3 stay fixed:
+                # they carry the metric gauge.
+                if i > msv_i and i % window == 0:
+                    from velocity_tpu.solvers.triangulate import (
+                        nray_intercept_masked_np)
+
+                    lo = max(msv_i, i - 2 * window)
+                    p3h = np.asarray(p3_dev, np.float64)
+                    tvec_i = B[i, 0:3] - B[0, 0:3]
+                    zl = (p3h[vp_np] + tvec_i)[:, 2]
+                    med = float(np.median(zl)) if vp_np.any() else 10.0
+                    p3_tri, okt = nray_intercept_masked_np(
+                        intr_np, track_px[lo : i + 1],
+                        B[lo : i + 1, 0:3] - B[0, 0:3],
+                        valid_hist[lo : i + 1] & vp_np[None, :],
+                        min_obs=max(3, (i - lo) // 2),
+                        depth_range=(0.25 * med, 4.0 * med),
+                    )
+                    refresh = vp_np & okt
+                    refresh[:4] = False
+                    if refresh.any():
+                        p3h[refresh] = p3_tri[refresh]
+                        p3_np = p3h
+                        p3_dev = jnp.asarray(p3h, sdt)
+                        if verbose:
+                            print(f"[window @{i}] refreshed structure of "
+                                  f"{int(refresh.sum())} lanes")
                 ba_meta.append((seg_start, i, np.array(p3_dev, np.float64),
                                 repl_at_start.copy()))
                 repl_at_start = np.zeros(N, bool)
