@@ -183,24 +183,50 @@ def bench_batched_schur_rows(prob, n_real):
     mesh = make_mesh({"window": 1, "point": 1},
                      devices=np.array(jax.devices()[:1]).reshape(1, 1))
 
-    def run_k(k):
-        return partial(windowed_ba, mesh=mesh,
-                       config=BAConfig(max_iters=k, tol=0.0))
+    # The tunnel's per-dispatch jitter (hundreds of ms) swamps any hi-lo
+    # subtraction at these problem sizes, so amortize: 20 full solves inside
+    # ONE jit via fori_loop, each data-dependent on the last (defeats
+    # loop-invariant hoisting), one fetch at the end.
+    REPS = 20
+    cfgw = BAConfig(max_iters=6, tol=0.0)
 
-    f_lo = lambda: run_k(2)(pix, msk, pts0, cams0, prob.intr)
-    f_hi = lambda: run_k(12)(pix, msk, pts0, cams0, prob.intr)
-    t_lo = _fetch_time(lambda _x: f_lo(), None)
-    t_hi = _fetch_time(lambda _x: f_hi(), None)
-    delta = t_hi - t_lo
-    ms = delta / 10.0 * 1000.0
+    def batch_loop(p0):
+        def body(_i, acc):
+            p = p0 + acc * 1e-12
+            _pts, camsR, _it = windowed_ba(
+                pix, msk, p, cams0, prob.intr, mesh, config=cfgw,
+                fix_rotations=True, pin_tracks=4)
+            return acc + camsR[0, 1, 0]
+        return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
+
+    import jax as _jax
+
+    f = _jax.jit(batch_loop)
+    t_total = _fetch_time(f, pts0)
+    t_null = _fetch_time(_jax.jit(lambda p: p[0, 0, 0]), pts0)
+    one = windowed_ba(pix, msk, pts0, cams0, prob.intr, mesh, config=cfgw,
+                      fix_rotations=True, pin_tracks=4)
+    iters_hi = int(np.asarray(one[2]).ravel()[0])
+    ms = max(t_total - t_null, 1e-9) / REPS / max(iters_hi, 1) * 1000.0
     flops = nw * (nc * nc * nt * 216 + nc * nt * 500 + (6 * nc) ** 3)
+    delta = t_total - t_null
     return [{
         "metric": f"batched Schur BA ms/iter ({nw} windows x nc={nc}, "
                   f"nt={nt}, one chip - the windowed_ba serving shape)",
         "value": round(ms, 3), "unit": "ms/iter (all windows)",
         "ms_per_window_iter": round(ms / nw, 3),
-        "mfu_pct_bf16peak": round(flops / (ms / 1e3) / V5E_PEAK_BF16 * 100, 3),
+        "iterations_per_solve": iters_hi,
+        "amortized_solves": REPS,
+        "mfu_pct_bf16peak": (round(flops / ms * 1e3 / V5E_PEAK_BF16 * 100, 3)
+                             if delta >= 0.05 else None),
         "noise_dominated": bool(delta < 0.05),
+        "note": "honest conclusion: even batched 8-wide, per-chip MFU stays"
+                " <0.1% - the product's BA shapes (~0.1 GFLOP/iter) are"
+                " latency-bound on a 197 TFLOP/s chip in EVERY configuration."
+                " The operative metric is absolute time: BA costs 0.2-1.5"
+                " ms/iter, i.e. a full 6-iter window refine is <10 ms next to"
+                " ~30 ms/frame tracking, and the roofline story for this"
+                " framework lives in the tracker kernels (rows below).",
     }]
 
 
@@ -291,7 +317,10 @@ def bench_kernel_rows():
         t = _fetch_time(jax.jit(ex10), imgp, cx, cy)
         t0 = _fetch_time(jax.jit(lambda ip, a, b: ip[0, 0]), imgp, cx, cy)
         per = max((t - t0) / 10.0, 1e-6)
-        traffic = N * 64 * 256 * 4  # aligned superslab DMA per point
+        # aligned superslab DMA per point: the kernel's scratch is the
+        # power-of-two (SH, SW) slab = (32, 256) f32 for size=24
+        # (ops/slab_pallas.py) — 32 KiB per point
+        traffic = N * 32 * 256 * 4
         rows.append({
             "metric": "Pallas slab extraction (1024 x 24x24, aligned DMA)",
             "value": round(per * 1e3, 3), "unit": "ms",
@@ -357,11 +386,13 @@ print(json.dumps(out))
     except Exception as e:
         return [{"metric": "sharded BA scaling", "error": str(e)[:200]}]
     base = data[0]["ms_per_iter"]
+    base_ok = data[0].get("delta_s", 0.0) >= 0.05
     return [{
         "metric": f"point-sharded Schur BA ms/iter, {d['devices']} virtual CPU devices"
                   " (nc=20, nt=1024; code-path validation, single real chip)",
         "value": d["ms_per_iter"], "unit": "ms/iter",
-        "speedup_vs_1dev": round(base / d["ms_per_iter"], 2) if d["ms_per_iter"] else None,
+        "speedup_vs_1dev": (round(base / d["ms_per_iter"], 2)
+                            if base_ok and d["ms_per_iter"] else None),
         "noise_dominated": bool(d.get("delta_s", 1.0) < 0.05),
         "note": "virtual devices on ONE host validate the sharded graph +"
                 " collectives, not speedup (the FLOPs do not shrink and"
