@@ -77,10 +77,12 @@ def main():
         runner(cfg, run, N_FRAMES)  # warm the per-frame compiles
 
     walls, res = [], None
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         res = runner(cfg, run, N_FRAMES)
         walls.append(time.time() - t0)
+    # median of 5: the tunneled TPU's upload bandwidth drifts by session and
+    # individual trials jitter ~20%; the median is the honest steady state
     fps = N_FRAMES / statistics.median(walls)
 
     out = {

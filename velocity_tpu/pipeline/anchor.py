@@ -45,7 +45,7 @@ def resolve_plate_pose(intr64, q, track_px, cfg: PipelineConfig):
     from velocity_tpu.geometry.projection import image_to_world_plane
     from velocity_tpu.pipeline.roi import bounding_rect, inside_bbox
     from velocity_tpu.solvers.pose import (
-        plate_pose_candidates, estimate_world_camera_pose)
+        plate_pose_candidates, solve_translation_np)
 
     k1, N, _ = track_px.shape
     plate = jnp.asarray(license_plate_points(cfg.plate_country), jnp.float64)
@@ -55,6 +55,30 @@ def resolve_plate_pose(intr64, q, track_px, cfg: PipelineConfig):
     valid0 = np.isfinite(track_px[0]).all(axis=1)
     boxa = bounding_rect(np.asarray(q), (10**9, 10**9), border=(0, 0))
     vp0 = valid0 & inside_bbox(p0, boxa)
+    scfg = cfg.solver
+
+    def _solve_frame(pix_f, p3c, m, prev):
+        """Trace-free numpy twin of the device translation solve, including
+        its robust second pass (solvers/pose.py estimate_world_camera_pose)."""
+        t, rms = solve_translation_np(
+            intr64, pix_f, p3c, prev, m, max_iters=scfg.max_iters_pose,
+            damping=scfg.damping, tol=scfg.tol, ramp_rate=scfg.ramp_rate)
+        if (scfg.pose_reject_sigma > 0 and scfg.pose_reject_above_px > 0
+                and rms > scfg.pose_reject_above_px):
+            fx, fy = float(intr64.fx), float(intr64.fy)
+            cx, cy = float(intr64.cx), float(intr64.cy)
+            pc = p3c + t
+            u = fx * pc[:, 0] / pc[:, 2] + cx
+            v = fy * pc[:, 1] / pc[:, 2] + cy
+            err = np.where(m, np.hypot(pix_f[:, 0] - u, pix_f[:, 1] - v), 0.0)
+            rms1 = np.sqrt((err ** 2).sum() / max(m.sum(), 1))
+            m2 = m & (err <= scfg.pose_reject_sigma * rms1)
+            if m2.sum() >= 8:
+                t, rms = solve_translation_np(
+                    intr64, pix_f, p3c, t, m2,
+                    max_iters=scfg.max_iters_pose, damping=scfg.damping,
+                    tol=scfg.tol, ramp_rate=scfg.ramp_rate)
+        return t, rms
 
     best = None
     for cand in cands:
@@ -65,18 +89,14 @@ def resolve_plate_pose(intr64, q, track_px, cfg: PipelineConfig):
         t_track = np.zeros((k1, 3))
         res_track = np.zeros(k1)
         res_track[0] = float(cand.residual_rms)
-        prev = jnp.zeros(3, jnp.float64)
+        prev = np.zeros(3)
         for f in range(1, k1):
             m = vp0 & np.isfinite(track_px[f]).all(axis=1)
-            pose = estimate_world_camera_pose(
-                intr64, jnp.asarray(np.nan_to_num(track_px[f], nan=0.0),
-                                    jnp.float64),
-                jnp.asarray(p3c), t0=prev, R0=jnp.eye(3, dtype=jnp.float64),
-                find_R=False, mask=jnp.asarray(m), config=cfg.solver,
-            )
-            t_track[f] = np.asarray(pose.t)
-            res_track[f] = float(pose.residual_rms)
-            prev = pose.t
+            pix_f = np.nan_to_num(track_px[f].astype(np.float64))
+            t_f, rms_f = _solve_frame(pix_f, p3c, m, prev)
+            t_track[f] = t_f
+            res_track[f] = rms_f
+            prev = t_f
         score = float(res_track[1:].mean()) if k1 > 1 else res_track[0]
         import os
 

@@ -107,6 +107,21 @@ def _pack_big(pts, pproj, vg, vp):
 
 
 @jax.jit
+def _pack_segment(pts, pproj, vg, vp, t, res, n2):
+    """(k, N+1, 6) ONE-fetch packing of a whole segment's outputs: the
+    per-point rows plus one extra lane row carrying the per-frame scalars
+    [t(3), res, n2, 0] — each D2H transfer pays a full tunnel round trip,
+    so the big/small split cost an extra ~30 ms per segment."""
+    big = _pack_big(pts, pproj, vg, vp)
+    f32 = pts.dtype
+    small = jnp.concatenate(
+        [t.astype(f32), res[:, None].astype(f32), n2[:, None].astype(f32),
+         jnp.zeros((t.shape[0], 1), f32)], axis=-1,
+    )
+    return jnp.concatenate([big, small[:, None, :]], axis=1)
+
+
+@jax.jit
 def _pack_small(t, res, n2):
     """(k, 5) single-fetch packing of the per-frame scalar outputs."""
     return jnp.concatenate(
@@ -328,13 +343,24 @@ class ScanSpeedRunner:
                 jnp.asarray(t0_np, sdt), p3, intr,
                 all_keys[1 : seg_a + 1], cfg.tracker, cfg.solver, sdt,
             )
-            # fetch A as TWO packed transfers (the tunnel D2H pays ~30 ms
+            import os as _os
+
+            if not _os.environ.get("VELOCITY_TPU_LATE_RELEASE"):
+                # open the post-MSV upload gate right after segment A's
+                # DISPATCH: its ~180 ms of execution hides most of the
+                # uploads, and segment B then starts immediately after the
+                # MSV anchor instead of behind its own upload burst. (The
+                # fetch below queues behind the upload remainder — a net win;
+                # set VELOCITY_TPU_LATE_RELEASE to restore fetch-first order.)
+                ingest.release()
+            # fetch A as ONE packed transfer (the tunnel D2H pays ~30 ms
             # latency per array; seven sequential fetches would pay it seven
-            # times), then open the upload gate for the post-MSV frames
+            # times)
             ptsA_d, vgA_d, vpA_d, tA_d, resA_d, pprojA_d, n2A_d = outA
-            bigA = np.asarray(_pack_big(ptsA_d, pprojA_d, vgA_d, vpA_d))
-            smallA = np.asarray(_pack_small(tA_d, resA_d, n2A_d))
+            allA = np.asarray(_pack_segment(
+                ptsA_d, pprojA_d, vgA_d, vpA_d, tA_d, resA_d, n2A_d))
             ingest.release()
+            bigA, smallA = allA[:, :-1], allA[:, -1]
             ptsA, pprojA = bigA[..., 0:2], bigA[..., 2:4]
             vgA, vpA = bigA[..., 4] > 0.5, bigA[..., 5] > 0.5
             tA, resA, n2A = smallA[:, 0:3], smallA[:, 3], smallA[:, 4]
@@ -449,8 +475,10 @@ class ScanSpeedRunner:
                     ptsB = vgB = vpB_o = pprojB = None
                 else:
                     ptsB_d, vgB_d, vpB_d, tB_d, resB_d, pprojB_d, n2B_d = outB
-                    bigB = np.asarray(_pack_big(ptsB_d, pprojB_d, vgB_d, vpB_d))
-                    smallB = np.asarray(_pack_small(tB_d, resB_d, n2B_d))
+                    allB = np.asarray(_pack_segment(
+                        ptsB_d, pprojB_d, vgB_d, vpB_d, tB_d, resB_d, n2B_d))
+                    marks["segB_fetched_s"] = _time.time() - t_wall0
+                    bigB, smallB = allB[:, :-1], allB[:, -1]
                     ptsB, pprojB = bigB[..., 0:2], bigB[..., 2:4]
                     vgB, vpB_o = bigB[..., 4] > 0.5, bigB[..., 5] > 0.5
                     tB, resB, n2B = smallB[:, 0:3], smallB[:, 3], smallB[:, 4]

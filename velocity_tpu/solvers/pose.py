@@ -214,6 +214,55 @@ def _polish_pose_np(intr: Intrinsics, q, plate, R0, t0,
     return R, t
 
 
+def solve_translation_np(intr: Intrinsics, pix, p3, t0, mask,
+                         max_iters: int = 30, damping: float = 1.0,
+                         tol: float = 1e-8, ramp_rate: float = 0.2):
+    """Pure-numpy twin of ``solve_translation`` (reference fcnNLS_t,
+    NLS.py:102-129): forward-difference Jacobian (dx=1e-6), identity
+    Marquardt damping, iteration-ramped step, rms(delta) convergence.
+
+    Host-side and trace-free: the disambiguation scoring calls this ~10
+    times per video, and the jitted solver's per-call retrace (closure
+    residuals) cost >1 s of host time at the MSV anchor.
+    """
+    import numpy as np
+
+    fx, fy = float(intr.fx), float(intr.fy)
+    cx, cy = float(intr.cx), float(intr.cy)
+    sk = float(intr.skew)
+    P = np.asarray(p3, np.float64)[mask]
+    z = np.asarray(pix, np.float64)[mask].ravel()
+    x = np.asarray(t0, np.float64).copy()
+    inv_f = 1.0 / fx
+
+    def zhat(t):
+        pc = P + t
+        u = (fx * pc[:, 0] + sk * pc[:, 1]) / pc[:, 2] + cx
+        v = fy * pc[:, 1] / pc[:, 2] + cy
+        return np.stack([u, v], 1).ravel()
+
+    dx = 1e-6
+    lam = damping * inv_f * inv_f
+    for i in range(max_iters):
+        r = (z - zhat(x)) * inv_f
+        J = np.empty((r.size, 3))
+        for k in range(3):
+            e = np.zeros(3)
+            e[k] = dx
+            J[:, k] = ((z - zhat(x + e)) * inv_f - r) / dx
+        JTJ = J.T @ J + np.eye(3) * lam
+        # J here is d(z - zhat)/dx = -d(zhat)/dx, so this step equals the
+        # reference's +inv(JTJ) J_zhat^T (z - zhat) update (NLS.py:122)
+        step = np.linalg.solve(JTJ, J.T @ r)
+        scale = min(((i + 1) * ramp_rate) ** 2, 1.0)
+        x = x - step * scale
+        if np.sqrt(np.mean(step * step)) * scale < tol:
+            break
+    res = (z - zhat(x))
+    rms = np.sqrt(np.mean(res * res)) if res.size else 0.0
+    return x, rms
+
+
 def _mirror_plate_pose_np(R, t):
     """The second branch of the planar two-fold ambiguity: reflect the plate
     normal across the center viewing ray (numpy row-vector R)."""
