@@ -319,10 +319,12 @@ class ScanSpeedRunner:
             # it would delay the result by the whole upload burst) ----
             dev0 = ingest.wait(0)
             marks["decode0_s"] = _time.time() - t_wall0
-            p, valid, boxa, boxb = self._est._init_features(dev0, q)
-            marks["init_features_s"] = _time.time() - t_wall0
+            refined_d, cvalid_d, boxa, boxb = (
+                self._est._init_features_dispatch(dev0, q))
             pyr0, spyr0 = frame_pyramids_jit(dev0, cfg.tracker)
-            ingest.release()  # frames 1..msv upload behind the pyramid build
+            ingest.release()  # frames 1..msv upload behind the Harris exec
+            p, valid = self._est._init_features_finish(refined_d, cvalid_d, q)
+            marks["init_features_s"] = _time.time() - t_wall0
             t0_np, p3_np, res0 = self._est._init_geometry(cam, q, p, valid, scale)
             marks["init_geometry_s"] = _time.time() - t_wall0
             N = cfg.tracker.max_features

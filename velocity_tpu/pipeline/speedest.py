@@ -130,8 +130,10 @@ class SpeedEstimator:
         self.tracker = ThreeStageTracker(config.tracker)
 
     # ------------------------------------------------------------------ init
-    def _init_features(self, gray: np.ndarray, q: np.ndarray):
-        """Frame-0 feature detection: Harris in the plate ROI + subpixel refine."""
+    def _init_features_dispatch(self, gray, q: np.ndarray):
+        """Enqueue the frame-0 Harris+subpix graph; returns device refs +
+        boxes WITHOUT fetching (callers can overlap host/tunnel work with
+        the device execution — see scan.py's staged upload gates)."""
         cfg = self.config.tracker
         boxa = bounding_rect(q, gray.shape, border=(0, 0))
         boxb = bounding_rect(q, gray.shape, border=self.config.tracker.roi_border)
@@ -140,6 +142,12 @@ class SpeedEstimator:
             cfg.max_features - 4, cfg.harris_quality, cfg.harris_block,
             cfg.harris_k, cfg.subpix_window, cfg.subpix_iters, cfg.subpix_eps,
         )
+        return refined_d, cvalid_d, boxa, boxb
+
+    def _init_features_finish(self, refined_d, cvalid_d, q: np.ndarray):
+        """Fetch + assemble the fixed-capacity lane arrays (plate corners in
+        lanes 0..3, reference vidExample.py:116)."""
+        cfg = self.config.tracker
         refined = np.asarray(refined_d)
         cvalid = np.asarray(cvalid_d)
         N = cfg.max_features
@@ -149,6 +157,12 @@ class SpeedEstimator:
         valid[0:4] = True
         p[4:] = refined
         valid[4:] = cvalid
+        return p, valid
+
+    def _init_features(self, gray, q: np.ndarray):
+        """Frame-0 feature detection: Harris in the plate ROI + subpixel refine."""
+        refined_d, cvalid_d, boxa, boxb = self._init_features_dispatch(gray, q)
+        p, valid = self._init_features_finish(refined_d, cvalid_d, q)
         return p, valid, boxa, boxb
 
     # ------------------------------------------------------------------ init
