@@ -32,6 +32,12 @@ def _add_speed_args(sp):
     sp.add_argument("--solver-dtype", default="float32",
                     choices=["float32", "float64"])
     sp.add_argument("--max-features", type=int, default=1024)
+    sp.add_argument("--shard-features", type=int, default=0, metavar="N",
+                    help="shard the track axis of the fb-LK over N devices "
+                         "(a 'feature' mesh axis; the TP analog)")
+    sp.add_argument("--car-affine", action="store_true",
+                    help="car-anchored affine prior (two-motion-group "
+                         "scenes; the stills driver forces this on)")
     sp.add_argument("--plot", default=None, help="write HTML report here")
     sp.add_argument("--json", action="store_true", help="print summary as JSON")
     sp.add_argument("--quiet", action="store_true")
@@ -48,7 +54,11 @@ def _pipeline_config(args):
         start_frame=args.start_frame,
         native_scale=args.native_scale,
         msv_frame=args.msv_frame,
-        tracker=TrackerConfig(max_features=args.max_features),
+        tracker=TrackerConfig(
+            max_features=args.max_features,
+            shard_features=getattr(args, "shard_features", 0),
+            car_affine=getattr(args, "car_affine", False),
+        ),
         solver=SolverConfig(dtype=args.solver_dtype),
     )
 

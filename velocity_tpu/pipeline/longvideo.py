@@ -201,15 +201,40 @@ class LongVideoRunner:
                 if i < msv_i < n:
                     nexts.append(msv_i)
                 j = min(x for x in nexts if x > i)
-                frames = jnp.stack(
-                    [ingest.wait(r - base) for r in range(i + 1, j + 1)])
-                carry, outs = scan_segment(
-                    frames, pyr_b, spyr_b, pts_dev, vg_dev, vp_dev, t_dev,
-                    p3_dev, intr, all_keys[i + 1 : j + 1],
-                    cfg.tracker, cfg.solver, sdt,
-                )
-                ptsW, vgW, vpW, tW, resW, _projW, n2W = jax.tree.map(
-                    np.asarray, outs)
+
+                def _run_segment():
+                    frames = jnp.stack(
+                        [ingest.wait(r - base) for r in range(i + 1, j + 1)])
+                    carry, outs = scan_segment(
+                        frames, pyr_b, spyr_b, pts_dev, vg_dev, vp_dev, t_dev,
+                        p3_dev, intr, all_keys[i + 1 : j + 1],
+                        cfg.tracker, cfg.solver, sdt,
+                    )
+                    return carry, jax.tree.map(np.asarray, outs)
+
+                try:
+                    carry, outs = _run_segment()
+                except Exception as e:  # window-level fault recovery
+                    # a transient device/tunnel failure (observed in the
+                    # wild: FAILED_PRECONDITION from the remote runtime)
+                    # loses only this window — every input lives on the host
+                    # (decoded grays, boundary state mirrors), so rebuild the
+                    # device state from the last boundary and retry ONCE.
+                    # SURVEY §5: window-level retry is the natural fault
+                    # unit of this pipeline.
+                    if verbose:
+                        print(f"[window @{i}] segment failed "
+                              f"({type(e).__name__}: {str(e)[:120]}); "
+                              "rebuilding device state and retrying")
+                    pyr_b, spyr_b = frame_pyramids_jit(
+                        jnp.asarray(ingest.grays[i - base]), cfg.tracker)
+                    pts_dev = jnp.asarray(p_np, jnp.float32)
+                    vg_dev = jnp.asarray(vg_np)
+                    vp_dev = jnp.asarray(vp_np)
+                    t_dev = jnp.asarray(B[i, 0:3] - B[0, 0:3], sdt)
+                    p3_dev = jnp.asarray(p3_np, sdt)
+                    carry, outs = _run_segment()
+                ptsW, vgW, vpW, tW, resW, _projW, n2W = outs
                 pyr_b, spyr_b, pts_dev, vg_dev, vp_dev, t_dev = carry
                 for k in range(j - i):
                     r = i + 1 + k
